@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-virtual-device CPU mesh before JAX initialises.
+
+Multi-chip sharding is validated on virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8); the real-TPU path is
+exercised by bench.py and the driver's compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
