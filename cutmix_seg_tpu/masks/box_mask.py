@@ -169,19 +169,29 @@ def rasterise_masks(
 
     Each box toggles (XORs) its interior, reproducing the reference's repeated
     ``1 - mask`` in-place inversion across overlapping boxes
-    (reference: mask_gen.py:110-116). Rect coords are truncated toward zero
-    (``int(y0)`` semantics).
+    (reference: mask_gen.py:110-116). Coordinates follow ``mask[int(y0):int(y1)]``
+    NumPy-slice semantics exactly — including the quirk that negative indices
+    (possible with within_bounds=False) wrap around to ``size + idx``, so a box
+    crossing the top/left image edge draws nothing (empty slice) rather than a
+    clipped box. Reproduced consciously: changing it would change the Cutout
+    'outside bounds' distribution relative to the reference.
     """
     h, w = mask_hw
     n, n_boxes, _ = rects.shape
     # int() truncation toward zero for possibly-negative outside-bounds coords
     ri = jnp.trunc(rects).astype(jnp.int32)  # (N, B, 4)
+
+    def _slice_index(idx, size):
+        # numpy slice resolution: negative -> size + idx, then clamp to [0, size]
+        idx = jnp.where(idx < 0, idx + size, idx)
+        return jnp.clip(idx, 0, size)
+
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None, None]
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None, None]
-    y0 = ri[:, :, 0][:, :, None, None]
-    x0 = ri[:, :, 1][:, :, None, None]
-    y1 = ri[:, :, 2][:, :, None, None]
-    x1 = ri[:, :, 3][:, :, None, None]
+    y0 = _slice_index(ri[:, :, 0], h)[:, :, None, None]
+    x0 = _slice_index(ri[:, :, 1], w)[:, :, None, None]
+    y1 = _slice_index(ri[:, :, 2], h)[:, :, None, None]
+    x1 = _slice_index(ri[:, :, 3], w)[:, :, None, None]
     inside = (ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1)  # (N, B, H, W)
     toggles = inside.sum(axis=1) % 2  # XOR across boxes
     base = 0 if invert else 1
