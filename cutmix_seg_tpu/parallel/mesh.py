@@ -1,0 +1,68 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-GPU (hardcoded cuda:0;
+reference: train_seg_semisup_mask_mt.py:58) — this module is the new,
+TPU-native scaling layer (SURVEY.md §2 parallelism audit): data parallelism
+over a 1-D 'data' mesh axis via jit + NamedSharding. The train state is
+replicated; batches are sharded on their leading axis; XLA inserts psum
+all-reduces for the gradients over ICI. Multi-host pods extend the same mesh
+over DCN via jax.distributed.initialize (handled in train CLIs).
+
+The largest reference model (DeepLab v2 R101) fits comfortably on one chip, so
+tensor/pipeline parallelism is not needed for parity; the mesh carries an
+optional (unused-size-1) 'model' axis so model-sharding annotations can be
+introduced without re-plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh (with a trailing size-1 'model' axis)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices)
+    devs = np.asarray(devices[:n_data]).reshape(n_data, 1)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for batch pytrees."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree with the leading axis split over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def jit_sharded_step(step_fn, mesh: Mesh):
+    """jit a (state, batch, scalar) step with state replicated and batch
+    sharded over the data axis. Gradient/metric reductions become ICI
+    collectives inserted by XLA."""
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def jit_sharded_eval(eval_fn, mesh: Mesh):
+    """jit a (variables..., batch) -> reduced-metric eval function."""
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=repl)

@@ -1,0 +1,189 @@
+"""Fused CutMix / Cutout mean-teacher train step (the headline algorithm).
+
+One jitted XLA program per iteration performs everything the reference's hot
+loop does across many host-dispatched kernels
+(reference: train_seg_semisup_mask_mt.py:287-467):
+
+  supervised CE on the student, box-mask sampling + rasterisation, CutMix
+  blending of the two unsupervised batches (or Cutout zeroing), two teacher
+  forwards (no-grad), student forward on the mixed image, teacher-logit
+  blending, confidence thresholding, the consistency-loss menu, a single
+  gradient of ``sup + w * ramp * cons`` (identical gradients to the
+  reference's two separate backwards, since they are summed into one
+  optimizer step), the optax update, and the EMA teacher update.
+
+Data parallelism: the step is pure and batched — jit it over a Mesh with the
+batch sharded on the 'data' axis and the state replicated; XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cutmix_seg_tpu.core.train_state import ModelState, TrainState
+from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig, sample_masks
+from cutmix_seg_tpu.semisup import losses as L
+from cutmix_seg_tpu.semisup.ema import ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskConsistencyConfig:
+    mask_mode: str = "mix"  # 'mix' (CutMix) | 'zero' (Cutout)
+    box: BoxMaskConfig = BoxMaskConfig((0.5, 0.5))
+    cons_loss_fn: str = "var"
+    cons_weight: float = 1.0
+    conf_thresh: float = 0.97
+    conf_per_pixel: bool = False
+    freeze_bn: bool = True
+    mean_teacher: bool = True  # False = pi-model (teacher aliases student)
+    teacher_alpha: float = 0.99
+    unsup_batch_ratio: int = 1
+    ignore_value: int = 255
+
+
+def apply_model(model, params, batch_stats, x, *, train, freeze_bn, rng=None):
+    """Forward through a SegModel, returning (logits, new_batch_stats)."""
+    variables = {"params": params}
+    has_stats = bool(batch_stats)
+    if has_stats:
+        variables["batch_stats"] = batch_stats
+    rngs = {"dropout": rng} if rng is not None else None
+    if train and not freeze_bn and has_stats:
+        out, updates = model.module.apply(
+            variables, x, train=train, freeze_bn=freeze_bn,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        return out, updates["batch_stats"]
+    out = model.module.apply(variables, x, train=train, freeze_bn=freeze_bn, rngs=rngs)
+    return out, batch_stats
+
+
+def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
+    """Build the jittable step function.
+
+    batch dict (leading dim B for sup, R*B for unsup where
+    R = unsup_batch_ratio; all images normalised NHWC float, labels int NHW,
+    valid masks NHW1 float):
+      sup_x, sup_y
+      mix mode: ux0_tea, ux0_stu, um0, ux1_tea, ux1_stu, um1
+      zero mode: ux_tea, ux_stu, um
+    (the _tea/_stu pairs differ only under strong colour augmentation; pass
+    the same array for both otherwise — reference:
+    train_seg_semisup_mask_mt.py:313-331.)
+
+    Returns step(state, batch, ramp_val) -> (state, metrics).
+    """
+    R = cfg.unsup_batch_ratio
+    use_cons = cfg.cons_weight > 0.0
+
+    def subbatch_mean(arr):
+        # mean per sub-batch of R folded batches, matching the reference's
+        # per-unsup-batch (loss * mask).mean()
+        return arr.reshape((R, -1)).mean(axis=1)
+
+    def step(state: TrainState, batch, ramp_val):
+        rng, k_mask, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 4)
+        tea_state = state.teacher if cfg.mean_teacher else state.student
+
+        # ---- teacher forwards + mixing geometry: all outside the grad ----
+        tea_stats = tea_state.batch_stats
+        x_stu_cons = logits_tea = loss_mask = None
+        if use_cons:
+            if cfg.mask_mode == "mix":
+                ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
+                n, hw = ux_stu0.shape[0], ux_stu0.shape[1:3]
+                m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu0.dtype)
+                x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
+                loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
+                # reference runs the teacher in train() mode (BN stats update
+                # unless frozen; train_seg_semisup_mask_mt.py:268-275,354-356)
+                tea0, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats, batch["ux0_tea"],
+                    train=True, freeze_bn=cfg.freeze_bn)
+                tea1, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats, batch["ux1_tea"],
+                    train=True, freeze_bn=cfg.freeze_bn)
+                logits_tea = tea0 * (1.0 - m) + tea1 * m
+            elif cfg.mask_mode == "zero":
+                ux_stu = batch["ux_stu"]
+                n, hw = ux_stu.shape[0], ux_stu.shape[1:3]
+                m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu.dtype)
+                x_stu_cons = ux_stu * m
+                loss_mask = m * batch["um"]
+                logits_tea, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats, batch["ux_tea"],
+                    train=True, freeze_bn=cfg.freeze_bn)
+            else:
+                raise ValueError(f"unknown mask_mode {cfg.mask_mode!r}")
+            logits_tea = jax.lax.stop_gradient(logits_tea)
+            prob_tea = jax.nn.softmax(logits_tea.astype(jnp.float32), axis=-1)
+
+        # ---- student losses under grad ----
+        def loss_fn(params):
+            logits_sup, stats = apply_model(
+                model, params, state.student.batch_stats, batch["sup_x"],
+                train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_sup,
+            )
+            sup_loss = L.cross_entropy_ignore(
+                logits_sup, batch["sup_y"], cfg.ignore_value
+            )
+            metrics = {"sup_loss": sup_loss}
+            total = sup_loss
+            if use_cons:
+                logits_stu, stats = apply_model(
+                    model, params, stats, x_stu_cons,
+                    train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns,
+                )
+                per_px = L.consistency_loss_per_pixel(
+                    cfg.cons_loss_fn, logits_stu, logits_tea
+                )
+                lm = loss_mask
+                if cfg.conf_thresh > 0.0:
+                    conf = prob_tea.max(axis=-1, keepdims=True)
+                    conf_px = (conf >= cfg.conf_thresh).astype(jnp.float32)
+                    conf_rates = subbatch_mean(conf_px)  # (R,)
+                    if cfg.conf_per_pixel:
+                        masked = subbatch_mean(per_px * (lm * conf_px))
+                    else:
+                        masked = subbatch_mean(per_px * lm) * conf_rates
+                    conf_rate = conf_rates.mean()
+                else:
+                    masked = subbatch_mean(per_px * lm)
+                    conf_rate = jnp.float32(1.0)
+                # reference backwards each sub-batch's mean: total grad = sum
+                total = total + masked.sum() * ramp_val * cfg.cons_weight
+                metrics["cons_loss"] = masked.mean()
+                metrics["conf_rate"] = conf_rate
+            return total, (stats, metrics)
+
+        grads, (new_stu_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.student.params
+        )
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.student.params
+        )
+        new_params = optax.apply_updates(state.student.params, updates)
+        new_student = ModelState(params=new_params, batch_stats=new_stu_stats)
+
+        if cfg.mean_teacher:
+            tea_after_fwd = ModelState(params=tea_state.params, batch_stats=tea_stats)
+            new_teacher = ema_update(tea_after_fwd, new_student, cfg.teacher_alpha)
+        else:
+            # pi-model: teacher aliases the student; keep the empty placeholder
+            new_teacher = state.teacher
+
+        new_state = TrainState(
+            step=state.step + 1,
+            student=new_student,
+            teacher=new_teacher,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,16 +1,25 @@
-"""Test configuration: force an 8-virtual-device CPU mesh before JAX initialises.
+"""Test configuration: force an 8-virtual-device CPU mesh before JAX
+initialises its backend.
 
 Multi-chip sharding is validated on virtual CPU devices
 (XLA_FLAGS=--xla_force_host_platform_device_count=8); the real-TPU path is
-exercised by bench.py and the driver's compile checks.
+exercised by bench.py and the driver's compile checks. The environment pins
+JAX_PLATFORMS to the TPU plugin, so the platform must be overridden through
+jax.config (env alone is not sufficient here).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Numerical-parity tests compare against torch fp32; avoid bf16-precision
+# matmuls on the CPU backend (TPU runs choose their own precision).
+jax.config.update("jax_default_matmul_precision", "highest")

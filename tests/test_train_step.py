@@ -1,0 +1,175 @@
+"""Integration tests for the fused CutMix/Cutout mean-teacher step on an
+8-virtual-device CPU mesh: learning happens, EMA tracks, pi-model aliases,
+cutout mode runs, metrics are finite, and sharded eval matches host eval."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cutmix_seg_tpu.core.schedules import make_lr_schedule
+from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn
+from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig
+from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+from cutmix_seg_tpu.models.common import SegModel
+from cutmix_seg_tpu.ops.iou import EvaluatorIoU
+from cutmix_seg_tpu.parallel.mesh import (
+    jit_sharded_eval,
+    jit_sharded_step,
+    make_mesh,
+    shard_batch,
+)
+from cutmix_seg_tpu.semisup.mask_mt import MaskConsistencyConfig, make_mask_mt_step
+
+import numpy as _np
+
+
+def tiny_model(num_classes=4) -> SegModel:
+    module = DeepLab2(num_classes=num_classes, layers=(1, 1, 1, 1))
+    return SegModel(
+        name="tiny_deeplab2",
+        module=module,
+        mean=_np.zeros(3),
+        std=_np.ones(3),
+        block_size=(1, 1),
+        param_label=_param_label,
+    )
+
+
+def make_batch(rng, b=8, hw=(33, 33), C=4, mode="mix"):
+    h, w = hw
+    sup_x = rng.randn(b, h, w, 3).astype(np.float32)
+    sup_y = rng.randint(0, C, size=(b, h, w)).astype(np.int32)
+    batch = {"sup_x": jnp.asarray(sup_x), "sup_y": jnp.asarray(sup_y)}
+    if mode == "mix":
+        for k in ("ux0", "ux1"):
+            x = rng.randn(b, h, w, 3).astype(np.float32)
+            batch[f"{k}_tea"] = jnp.asarray(x)
+            batch[f"{k}_stu"] = jnp.asarray(x)
+        batch["um0"] = jnp.ones((b, h, w, 1), jnp.float32)
+        batch["um1"] = jnp.ones((b, h, w, 1), jnp.float32)
+    else:
+        x = rng.randn(b, h, w, 3).astype(np.float32)
+        batch["ux_tea"] = jnp.asarray(x)
+        batch["ux_stu"] = jnp.asarray(x)
+        batch["um"] = jnp.ones((b, h, w, 1), jnp.float32)
+    return batch
+
+
+def _setup(mode="mix", mean_teacher=True, cons_weight=1.0, conf_thresh=0.97):
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam",
+        learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100),
+    )
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=mean_teacher, pretrained=False,
+    )
+    cfg = MaskConsistencyConfig(
+        mask_mode=mode,
+        box=BoxMaskConfig((0.5, 0.5)),
+        cons_weight=cons_weight,
+        conf_thresh=conf_thresh,
+        conf_per_pixel=False,
+        freeze_bn=True,
+        mean_teacher=mean_teacher,
+        teacher_alpha=0.99,
+    )
+    step = make_mask_mt_step(model, tx, cfg)
+    return model, state, step
+
+
+def test_mask_mt_step_runs_and_learns():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    model, state, step = _setup("mix")
+    jstep = jit_sharded_step(step, mesh)
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, make_batch(rng))
+
+    losses = []
+    for i in range(5):
+        state, metrics = jstep(state, batch, jnp.float32(1.0))
+        losses.append(float(metrics["sup_loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["cons_loss"]))
+        assert 0.0 <= float(metrics["conf_rate"]) <= 1.0
+    assert int(state.step) == 5
+    # same batch repeatedly: supervised loss must drop
+    assert losses[-1] < losses[0], losses
+
+
+def test_ema_teacher_tracks_student():
+    model, state, step = _setup("mix")
+    rng = np.random.RandomState(1)
+    batch = make_batch(rng)
+    w0_s = np.asarray(
+        jax.tree_util.tree_leaves(state.student.params)[0]
+    ).copy()
+    state2, _ = step(state, batch, jnp.float32(1.0))
+    w1_s = np.asarray(jax.tree_util.tree_leaves(state2.student.params)[0])
+    w1_t = np.asarray(jax.tree_util.tree_leaves(state2.teacher.params)[0])
+    # teacher = 0.99 * old_teacher(=w0 student copy) + 0.01 * new_student
+    np.testing.assert_allclose(w1_t, 0.99 * w0_s + 0.01 * w1_s, atol=1e-6)
+
+
+def test_pi_model_uses_student_as_teacher():
+    model, state, step = _setup("mix", mean_teacher=False)
+    # pi-model keeps no separate teacher state (it aliases the student)
+    assert jax.tree_util.tree_leaves(state.teacher.params) == []
+    rng = np.random.RandomState(2)
+    state2, metrics = step(state, make_batch(rng), jnp.float32(1.0))
+    assert np.isfinite(float(metrics["cons_loss"]))
+    assert jax.tree_util.tree_leaves(state2.teacher.params) == []
+
+
+def test_cutout_mode_runs():
+    model, state, step = _setup("zero", conf_thresh=0.0)
+    rng = np.random.RandomState(3)
+    state2, metrics = step(state, make_batch(rng, mode="zero"), jnp.float32(0.5))
+    assert np.isfinite(float(metrics["cons_loss"]))
+
+
+def test_supervised_only_when_cons_weight_zero():
+    model, state, step = _setup("mix", cons_weight=0.0)
+    rng = np.random.RandomState(4)
+    state2, metrics = step(state, make_batch(rng), jnp.float32(1.0))
+    assert "cons_loss" not in metrics
+
+
+def test_frozen_bn_params_get_no_updates():
+    model, state, step = _setup("mix")
+    rng = np.random.RandomState(5)
+    state2, _ = step(state, make_batch(rng), jnp.float32(1.0))
+    bn0 = np.asarray(state.student.params["backbone"]["bn1"]["scale"])
+    bn1 = np.asarray(state2.student.params["backbone"]["bn1"]["scale"])
+    np.testing.assert_array_equal(bn0, bn1)
+    # while e.g. classifier does move
+    c0 = np.asarray(state.student.params["classifier"]["aspp0"]["kernel"])
+    c1 = np.asarray(state2.student.params["classifier"]["aspp0"]["kernel"])
+    assert not np.array_equal(c0, c1)
+
+
+def test_sharded_eval_matches_host():
+    mesh = make_mesh()
+    model, state, _ = _setup("mix")
+    eval_fn = make_eval_cm_fn(model, num_classes=4)
+    jeval = jit_sharded_eval(eval_fn, mesh)
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(8, 33, 33, 3).astype(np.float32)
+    y = rng.randint(0, 4, size=(8, 33, 33)).astype(np.int32)
+    y[rng.uniform(size=y.shape) < 0.05] = 255
+    batch = shard_batch(mesh, {"x": jnp.asarray(x), "y": jnp.asarray(y)})
+    cm = np.asarray(jeval(state.teacher, batch))
+
+    # host path: same params, unsharded
+    cm_host = np.asarray(eval_fn(state.teacher, {"x": jnp.asarray(x), "y": jnp.asarray(y)}))
+    np.testing.assert_array_equal(cm, cm_host)
+
+    ev = EvaluatorIoU(4)
+    ev.update_cm(cm)
+    assert np.isfinite(ev.miou())
