@@ -1,0 +1,117 @@
+"""Headline benchmark: CutMix mean-teacher training throughput on TPU.
+
+Measures the fully-fused train step (student fwd/bwd on sup + mixed unsup
+batches, two teacher forwards, on-device mask gen + CutMix blend, confidence
+threshold + consistency loss, Adam update, EMA) for DeepLab v2 ResNet-101 in
+the paper's Pascal-VOC configuration: batch 10 supervised + 10+10
+unsupervised, 321x321 crops, frozen BN — the reference's headline experiment
+(reference: run_pascal_aug_experiments.sh:14-31,
+train_seg_semisup_mask_mt.py:287-467).
+
+Metric: train images/sec/chip, counted as batch_size (10) supervised-equiv
+images per optimizer step — i.e. iterations/sec * 10, the number used to turn
+"40 epochs x 1000 iters" into wall-clock. The reference publishes no
+throughput number (it prints only wall-clock per epoch), so vs_baseline is
+measured against REFERENCE_IMG_PER_SEC, an estimate of the reference's
+single-GPU rate (~2 iters/s for this config on the era's hardware); the
+BASELINE.md target is >=3x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+REFERENCE_IMG_PER_SEC = 20.0  # estimated reference throughput (see docstring)
+
+BATCH = 10
+CROP = 321
+NUM_CLASSES = 21
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+    from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig
+    from cutmix_seg_tpu.models.deeplab2 import resnet101_deeplab_imagenet
+    from cutmix_seg_tpu.parallel.mesh import jit_sharded_step, make_mesh, shard_batch
+    from cutmix_seg_tpu.semisup.mask_mt import (
+        MaskConsistencyConfig,
+        make_mask_mt_step,
+    )
+
+    model = resnet101_deeplab_imagenet(
+        num_classes=NUM_CLASSES, dtype=jnp.bfloat16, pretrained=False
+    )
+    total_iters = 40_000
+    opt_cfg = OptimizerConfig(
+        opt_type="adam",
+        learning_rate=3e-5,
+        lr_schedule=make_lr_schedule("none", 3e-5, total_iters),
+    )
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(CROP, CROP),
+        mean_teacher=True, pretrained=False,
+    )
+    cfg = MaskConsistencyConfig(
+        mask_mode="mix",
+        box=BoxMaskConfig((0.5, 0.5)),
+        cons_weight=1.0,
+        conf_thresh=0.97,
+        conf_per_pixel=False,
+        freeze_bn=True,
+        mean_teacher=True,
+        teacher_alpha=0.99,
+    )
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh(n_chips)
+    step = jit_sharded_step(make_mask_mt_step(model, tx, cfg), mesh)
+
+    rng = np.random.RandomState(0)
+    b = BATCH * n_chips
+    batch = {
+        "sup_x": rng.randn(b, CROP, CROP, 3).astype(np.float32),
+        "sup_y": rng.randint(0, NUM_CLASSES, size=(b, CROP, CROP)).astype(np.int32),
+        "um0": np.ones((b, CROP, CROP, 1), np.float32),
+        "um1": np.ones((b, CROP, CROP, 1), np.float32),
+    }
+    for k in ("ux0", "ux1"):
+        x = rng.randn(b, CROP, CROP, 3).astype(np.float32)
+        batch[f"{k}_tea"] = x
+        batch[f"{k}_stu"] = x
+    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+    ramp = jnp.float32(1.0)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, ramp)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, ramp)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = ITERS / dt
+    img_per_sec_per_chip = iters_per_sec * BATCH  # per chip: BATCH per chip per iter
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip (CutMix mean-teacher, DeepLab v2 R101, bs10, 321^2)",
+                "value": round(img_per_sec_per_chip, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Fused on-device augmentation: one batched warp per sample family +
+colour jitter + normalisation.
+
+The host ships fixed-size uint8 canvases (decoded images placed at the canvas
+origin, zero-filled beyond their true extent) plus per-sample affine matrices
+and true (h, w) extents. The device then:
+
+  1. warps the image canvas to the crop with the per-sample matrix —
+     sampling coordinates outside the TRUE image extent reflect about the
+     image edges (cv2 BORDER_REFLECT_101 semantics of the reference's
+     crop-rotate-scale; seg_transforms_cv.py:366) — with per-sample
+     bilinear/nearest selection (the reference uses nearest for the image
+     when labels ride along);
+  2. warps labels with nearest + constant 255 outside the extent;
+  3. computes the valid mask analytically as the bilinear coverage of the
+     image-extent rectangle (identical to warping the reference's 255-mask
+     with a constant-0 border) — no mask canvas crosses the wire;
+  4. optionally colour-jitters the student copy;
+  5. normalises with the reference's alpha-channel semantics:
+     out = (img/255 - mean * valid) / std, so padding stays exactly 0 after
+     standardisation (seg_transforms_cv.py:598-610).
+
+Everything is static-shape and jit-compiled once per (canvas, crop) geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutmix_seg_tpu.ops.colour import ColourJitterConfig, colour_jitter
+
+
+def _invert_nx2x3(m):
+    a = m[:, :, :2]
+    t = m[:, :, 2:]
+    det = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    inv_a = jnp.stack(
+        [
+            jnp.stack([a[:, 1, 1], -a[:, 0, 1]], axis=-1),
+            jnp.stack([-a[:, 1, 0], a[:, 0, 0]], axis=-1),
+        ],
+        axis=-2,
+    ) / det[:, None, None]
+    inv_t = -jnp.einsum("nij,njk->nik", inv_a, t)
+    return jnp.concatenate([inv_a, inv_t], axis=2)
+
+
+def _source_coords(m, out_hw, n, dtype=jnp.float32):
+    inv = _invert_nx2x3(m.astype(dtype))
+    ys = jax.lax.broadcasted_iota(dtype, out_hw, 0)
+    xs = jax.lax.broadcasted_iota(dtype, out_hw, 1)
+    sx = inv[:, 0, 0, None, None] * xs + inv[:, 0, 1, None, None] * ys + inv[:, 0, 2, None, None]
+    sy = inv[:, 1, 0, None, None] * xs + inv[:, 1, 1, None, None] * ys + inv[:, 1, 2, None, None]
+    return jnp.broadcast_to(sx, (n,) + out_hw), jnp.broadcast_to(sy, (n,) + out_hw)
+
+
+def _reflect101_dyn(coord, size):
+    """Reflect integer taps about [0, size) per-sample (size: (N,1,1) array)."""
+    period = jnp.maximum(2 * (size - 1), 1)
+    c = jnp.abs(coord) % period
+    return jnp.where(c >= size, period - c, c)
+
+
+def _gather_nhwc(img, iy, ix):
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    idx = (iy * w + ix).reshape(n, -1)
+    out = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+    return out.reshape(n, iy.shape[1], iy.shape[2], c)
+
+
+def _coverage(sx, sy, sizes_wh):
+    """Bilinear coverage in [0,1] of the rect [0, w-1] x [0, h-1]: exactly the
+    value of bilinearly sampling an all-ones image of that extent with a
+    constant-0 border."""
+    w = sizes_wh[:, 0][:, None, None]
+    h = sizes_wh[:, 1][:, None, None]
+    cx = jnp.clip(1.0 - jnp.maximum(-sx, sx - (w - 1.0)), 0.0, 1.0)
+    cy = jnp.clip(1.0 - jnp.maximum(-sy, sy - (h - 1.0)), 0.0, 1.0)
+    return (cx * cy)[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_image_canvas(
+    canvas: jnp.ndarray,
+    m: jnp.ndarray,
+    sizes_hw: jnp.ndarray,
+    interp: jnp.ndarray,
+    out_hw: Tuple[int, int],
+):
+    """Warp uint8 image canvases to float crops in [0, 255].
+
+    :param canvas: (N, CH, CW, 3) uint8, image at origin, zeros beyond extent
+    :param m: (N, 2, 3) original-image px -> crop px
+    :param sizes_hw: (N, 2) int true (h, w) extents
+    :param interp: (N,) int32; 0 nearest, 1 bilinear (per sample)
+    :param out_hw: crop size
+    :return: (crop (N, oh, ow, 3) float32 in [0,255], valid (N, oh, ow, 1))
+    """
+    n = canvas.shape[0]
+    ctype = jnp.float32
+    sx, sy = _source_coords(m, out_hw, n, ctype)
+    h_i = sizes_hw[:, 0].astype(ctype)[:, None, None]
+    w_i = sizes_hw[:, 1].astype(ctype)[:, None, None]
+
+    img = canvas.astype(ctype)
+
+    def tap(yi, xi):
+        # reflect101 about the TRUE image extent, then clamp into the canvas
+        yr = _reflect101_dyn(yi, h_i.astype(jnp.int32))
+        xr = _reflect101_dyn(xi, w_i.astype(jnp.int32))
+        yr = jnp.clip(yr, 0, canvas.shape[1] - 1)
+        xr = jnp.clip(xr, 0, canvas.shape[2] - 1)
+        return _gather_nhwc(img, yr, xr)
+
+    # bilinear
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    bil = (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+    # nearest
+    xn = jnp.floor(sx + 0.5).astype(jnp.int32)
+    yn = jnp.floor(sy + 0.5).astype(jnp.int32)
+    near = tap(yn, xn)
+
+    use_bil = (interp.astype(jnp.int32) == 1)[:, None, None, None]
+    crop = jnp.where(use_bil, bil, near)
+
+    sizes_wh = jnp.stack([sizes_hw[:, 1], sizes_hw[:, 0]], axis=1).astype(ctype)
+    cov_bil = _coverage(sx, sy, sizes_wh)
+    inb = (
+        (xn >= 0) & (xn < w_i.astype(jnp.int32))
+        & (yn >= 0) & (yn < h_i.astype(jnp.int32))
+    )[..., None].astype(ctype)
+    valid = jnp.where(use_bil, cov_bil, inb)
+    return crop, valid
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "ignore_value"))
+def warp_labels_canvas(
+    labels_canvas: jnp.ndarray,
+    m: jnp.ndarray,
+    sizes_hw: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    ignore_value: int = 255,
+):
+    """Nearest warp of int label canvases; outside the true extent -> ignore.
+
+    :param labels_canvas: (N, CH, CW) int32
+    """
+    n = labels_canvas.shape[0]
+    sx, sy = _source_coords(m, out_hw, n)
+    xn = jnp.floor(sx + 0.5).astype(jnp.int32)
+    yn = jnp.floor(sy + 0.5).astype(jnp.int32)
+    h_i = sizes_hw[:, 0].astype(jnp.int32)[:, None, None]
+    w_i = sizes_hw[:, 1].astype(jnp.int32)[:, None, None]
+    inb = (xn >= 0) & (xn < w_i) & (yn >= 0) & (yn < h_i)
+    yc = jnp.clip(yn, 0, labels_canvas.shape[1] - 1)
+    xc = jnp.clip(xn, 0, labels_canvas.shape[2] - 1)
+    vals = _gather_nhwc(labels_canvas[..., None], yc, xc)[..., 0]
+    return jnp.where(inb, vals, ignore_value)
+
+
+def normalise(img_255, valid, mean, std):
+    """Alpha-aware standardisation: (img/255 - mean * valid) / std."""
+    mean = jnp.asarray(mean, jnp.float32)[None, None, None, :]
+    std = jnp.asarray(std, jnp.float32)[None, None, None, :]
+    return (img_255 / 255.0 - mean * valid) / std
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "with_labels", "colour_cfg", "ignore_value"),
+)
+def augment_batch(
+    canvas: jnp.ndarray,
+    labels_canvas: Optional[jnp.ndarray],
+    m: jnp.ndarray,
+    sizes_hw: jnp.ndarray,
+    interp: jnp.ndarray,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    key: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    with_labels: bool,
+    colour_cfg: Optional[ColourJitterConfig] = None,
+    ignore_value: int = 255,
+):
+    """One fused program: warp + (optional) colour jitter + normalise.
+
+    Returns a dict with 'image' (N,oh,ow,3 float32), 'mask' (N,oh,ow,1) and
+    optionally 'labels' (N,oh,ow int32). When ``colour_cfg`` is given, also
+    returns 'image_stu': the colour-jittered copy (the teacher/student pair of
+    the reference's strong-colour path; geometry shared, colour differs).
+    """
+    crop, valid = warp_image_canvas(canvas, m, sizes_hw, interp, out_hw)
+    out = {"mask": valid}
+    img01 = crop / 255.0
+    if colour_cfg is not None:
+        stu01 = colour_jitter(img01, key, colour_cfg)
+        out["image_stu"] = ((stu01 - jnp.asarray(mean, jnp.float32) * valid)
+                            / jnp.asarray(std, jnp.float32))
+    out["image"] = ((img01 - jnp.asarray(mean, jnp.float32) * valid)
+                    / jnp.asarray(std, jnp.float32))
+    if with_labels:
+        out["labels"] = warp_labels_canvas(
+            labels_canvas, m, sizes_hw, out_hw, ignore_value
+        )
+    return out
