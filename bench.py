@@ -91,12 +91,14 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch, ramp)
-    jax.block_until_ready(metrics)
+    # force a host round-trip: on the experimental axon platform
+    # block_until_ready does not reliably synchronise
+    assert np.isfinite(float(metrics["sup_loss"]))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, ramp)
-    jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics["sup_loss"]))  # sync point
     dt = time.perf_counter() - t0
 
     iters_per_sec = ITERS / dt

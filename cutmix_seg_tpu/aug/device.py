@@ -85,15 +85,24 @@ def _coverage(sx, sy, sizes_wh):
     return (cx * cy)[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@functools.partial(jax.jit, static_argnames=("out_hw", "border"))
 def warp_image_canvas(
     canvas: jnp.ndarray,
     m: jnp.ndarray,
     sizes_hw: jnp.ndarray,
     interp: jnp.ndarray,
     out_hw: Tuple[int, int],
+    border: str = "constant",
 ):
     """Warp uint8 image canvases to float crops in [0, 255].
+
+    Border semantics follow the reference transform family:
+      * 'constant' — taps outside the true extent contribute 0, matching the
+        pad-with-zeros path of RandomCrop / RandomCropScaleHung (the alpha
+        trick then makes them exactly 0 post-normalisation);
+      * 'reflect101' — taps reflect about the TRUE image extent, matching
+        RandomCropRotateScale's cv2.BORDER_REFLECT_101
+        (seg_transforms_cv.py:366).
 
     :param canvas: (N, CH, CW, 3) uint8, image at origin, zeros beyond extent
     :param m: (N, 2, 3) original-image px -> crop px
@@ -111,12 +120,23 @@ def warp_image_canvas(
     img = canvas.astype(ctype)
 
     def tap(yi, xi):
-        # reflect101 about the TRUE image extent, then clamp into the canvas
-        yr = _reflect101_dyn(yi, h_i.astype(jnp.int32))
-        xr = _reflect101_dyn(xi, w_i.astype(jnp.int32))
-        yr = jnp.clip(yr, 0, canvas.shape[1] - 1)
-        xr = jnp.clip(xr, 0, canvas.shape[2] - 1)
-        return _gather_nhwc(img, yr, xr)
+        if border == "reflect101":
+            # reflect101 about the TRUE image extent, then clamp to canvas
+            yr = _reflect101_dyn(yi, h_i.astype(jnp.int32))
+            xr = _reflect101_dyn(xi, w_i.astype(jnp.int32))
+            yr = jnp.clip(yr, 0, canvas.shape[1] - 1)
+            xr = jnp.clip(xr, 0, canvas.shape[2] - 1)
+            return _gather_nhwc(img, yr, xr)
+        # constant-0 outside the true extent (the canvas is already zero
+        # there, but taps past the canvas edge must not replicate edge pixels)
+        yc = jnp.clip(yi, 0, canvas.shape[1] - 1)
+        xc = jnp.clip(xi, 0, canvas.shape[2] - 1)
+        vals = _gather_nhwc(img, yc, xc)
+        inb = (
+            (yi >= 0) & (yi < h_i.astype(jnp.int32))
+            & (xi >= 0) & (xi < w_i.astype(jnp.int32))
+        )[..., None]
+        return jnp.where(inb, vals, 0.0)
 
     # bilinear
     x0 = jnp.floor(sx)
@@ -181,9 +201,15 @@ def normalise(img_255, valid, mean, std):
     return (img_255 / 255.0 - mean * valid) / std
 
 
+def border_for_mode(geom_mode: str) -> str:
+    """Reference border semantics per transform family: pad-with-zeros for
+    crop / Hung crop-scale, reflect for crop-rotate-scale."""
+    return "reflect101" if geom_mode == "crop_rotate_scale" else "constant"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "with_labels", "colour_cfg", "ignore_value"),
+    static_argnames=("out_hw", "with_labels", "colour_cfg", "ignore_value", "border"),
 )
 def augment_batch(
     canvas: jnp.ndarray,
@@ -198,6 +224,7 @@ def augment_batch(
     with_labels: bool,
     colour_cfg: Optional[ColourJitterConfig] = None,
     ignore_value: int = 255,
+    border: str = "constant",
 ):
     """One fused program: warp + (optional) colour jitter + normalise.
 
@@ -205,16 +232,23 @@ def augment_batch(
     optionally 'labels' (N,oh,ow int32). When ``colour_cfg`` is given, also
     returns 'image_stu': the colour-jittered copy (the teacher/student pair of
     the reference's strong-colour path; geometry shared, colour differs).
+
+    Normalisation matches the reference per border family: with 'constant'
+    the alpha trick applies (out-of-image pixels exactly 0 post-norm;
+    seg_transforms_cv.py:598-610); with 'reflect101' the warped (reflected)
+    content is standardised plainly and only the valid mask marks the
+    out-of-image region (seg_transforms_cv.py:366-373).
     """
-    crop, valid = warp_image_canvas(canvas, m, sizes_hw, interp, out_hw)
+    crop, valid = warp_image_canvas(canvas, m, sizes_hw, interp, out_hw, border)
     out = {"mask": valid}
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    alpha = valid if border == "constant" else jnp.float32(1.0)
     img01 = crop / 255.0
     if colour_cfg is not None:
         stu01 = colour_jitter(img01, key, colour_cfg)
-        out["image_stu"] = ((stu01 - jnp.asarray(mean, jnp.float32) * valid)
-                            / jnp.asarray(std, jnp.float32))
-    out["image"] = ((img01 - jnp.asarray(mean, jnp.float32) * valid)
-                    / jnp.asarray(std, jnp.float32))
+        out["image_stu"] = (stu01 - mean * alpha) / std
+    out["image"] = (img01 - mean * alpha) / std
     if with_labels:
         out["labels"] = warp_labels_canvas(
             labels_canvas, m, sizes_hw, out_hw, ignore_value
