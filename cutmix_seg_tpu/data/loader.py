@@ -1,0 +1,238 @@
+"""Host-side data pipeline: threaded decode -> fixed-size canvases -> device.
+
+Replaces the reference's torch DataLoader worker-process machinery
+(reference: train_seg_semisup_mask_mt.py:199-217, datapipe/seg_data.py) with a
+TPU-shaped design: the host only decodes images and places them on fixed-size
+uint8 canvases (zero-filled beyond the true extent; labels 255-filled) and
+samples the per-sample geometric parameters; every per-pixel operation
+(warp, flip, colour, normalisation, mask generation) runs on device inside
+the fused step. Static canvas/crop shapes mean the train program compiles
+exactly once.
+
+Sampling semantics match the reference loaders: an infinite stream over the
+index subset, reshuffled every pass (RepeatSampler over SubsetRandomSampler;
+seg_data.py:281-308).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue as queue_mod
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cutmix_seg_tpu.aug.params import (
+    GeomConfig,
+    sample_geom_pair,
+    sample_geom_single,
+)
+
+
+class InfiniteShuffler:
+    """Infinite index stream: reshuffle the subset every pass."""
+
+    def __init__(self, indices: Sequence[int], rng: np.random.RandomState):
+        self.indices = np.asarray(indices)
+        self.rng = rng
+        self._pos = 0
+        self._order = self.rng.permutation(len(self.indices))
+
+    def take(self, n: int) -> np.ndarray:
+        out = []
+        while n > 0:
+            avail = len(self._order) - self._pos
+            if avail == 0:
+                self._order = self.rng.permutation(len(self.indices))
+                self._pos = 0
+                continue
+            k = min(n, avail)
+            out.append(self.indices[self._order[self._pos:self._pos + k]])
+            self._pos += k
+            n -= k
+        return np.concatenate(out)
+
+
+class DecodeCache:
+    """Bounded LRU cache of decoded (image, labels) arrays."""
+
+    def __init__(self, max_items: int = 1024):
+        self.max_items = max_items
+        self._cache = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key, fn):
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+        val = fn()
+        with self._lock:
+            self._cache[key] = val
+            self._cache.move_to_end(key)
+            while len(self._cache) > self.max_items:
+                self._cache.popitem(last=False)
+        return val
+
+
+class HostBatchBuilder:
+    """Builds numpy canvas batches + per-sample geometry for the device stage."""
+
+    def __init__(
+        self,
+        source,
+        geom: Optional[GeomConfig],
+        with_labels: bool,
+        pair_geom: bool = False,
+        canvas_hw: Optional[Tuple[int, int]] = None,
+        cache_items: int = 1024,
+        n_threads: int = 8,
+    ):
+        self.source = source
+        self.geom = geom
+        self.with_labels = with_labels
+        self.pair_geom = pair_geom
+        self.canvas_hw = canvas_hw or source.canvas_hw
+        self.cache = DecodeCache(cache_items)
+        self.pool = ThreadPoolExecutor(max_workers=n_threads)
+
+    def _decode(self, i: int):
+        def load():
+            img = self.source.get_image(int(i))
+            lab = self.source.get_labels(int(i)) if self.with_labels else None
+            return img, lab
+
+        return self.cache.get(int(i), load)
+
+    def build(self, indices: np.ndarray, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        b = len(indices)
+        ch, cw = self.canvas_hw
+        canvas = np.zeros((b, ch, cw, 3), np.uint8)
+        labels = np.full((b, ch, cw), 255, np.int32) if self.with_labels else None
+        sizes = np.zeros((b, 2), np.int32)
+
+        decoded = list(self.pool.map(self._decode, indices))
+        for k, (img, lab) in enumerate(decoded):
+            h, w = img.shape[:2]
+            if h > ch or w > cw:
+                raise ValueError(
+                    f"image {indices[k]} ({h}x{w}) exceeds canvas {self.canvas_hw}"
+                )
+            canvas[k, :h, :w] = img
+            if labels is not None:
+                labels[k, :h, :w] = lab
+            sizes[k] = (h, w)
+
+        out = {"canvas": canvas, "sizes": sizes}
+        if labels is not None:
+            out["labels"] = labels
+
+        if self.geom is not None:
+            if self.pair_geom:
+                m0 = np.zeros((b, 2, 3), np.float32)
+                m1 = np.zeros((b, 2, 3), np.float32)
+                i0 = np.zeros((b,), np.int32)
+                i1 = np.zeros((b,), np.int32)
+                for k in range(b):
+                    (a, ia), (c, ic) = sample_geom_pair(
+                        self.geom, tuple(sizes[k]), rng, self.with_labels
+                    )
+                    m0[k], m1[k], i0[k], i1[k] = a, c, ia, ic
+                out.update({"m0": m0, "m1": m1, "interp0": i0, "interp1": i1})
+            else:
+                m = np.zeros((b, 2, 3), np.float32)
+                interp = np.zeros((b,), np.int32)
+                for k in range(b):
+                    m[k], interp[k] = sample_geom_single(
+                        self.geom, tuple(sizes[k]), rng, self.with_labels
+                    )
+                out.update({"m": m, "interp": interp})
+        return out
+
+
+class PrefetchIterator:
+    """Runs a producer callable on a background thread with a bounded queue."""
+
+    def __init__(self, producer, depth: int = 2):
+        self.producer = producer
+        self.queue: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self.stop_flag = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        try:
+            while not self.stop_flag.is_set():
+                item = self.producer()
+                self.queue.put(item)
+        except Exception as e:  # surface producer errors to the consumer
+            self.queue.put(e)
+
+    def __next__(self):
+        item = self.queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def __iter__(self):
+        return self
+
+    def close(self):
+        self.stop_flag.set()
+        try:
+            self.queue.get_nowait()
+        except queue_mod.Empty:
+            pass
+
+
+def train_stream(
+    builder: HostBatchBuilder,
+    indices: Sequence[int],
+    batch_size: int,
+    seed: int,
+    prefetch: int = 2,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite prefetched stream of host batches over an index subset."""
+    sampler_rng = np.random.RandomState(seed)
+    param_rng = np.random.RandomState(seed + 1)
+    shuffler = InfiniteShuffler(indices, sampler_rng)
+
+    def produce():
+        return builder.build(shuffler.take(batch_size), param_rng)
+
+    return PrefetchIterator(produce, depth=prefetch)
+
+
+def eval_batches(
+    source,
+    indices: Sequence[int],
+    batch_size: int,
+    block_size: Tuple[int, int] = (1, 1),
+    with_labels: bool = True,
+):
+    """Fixed-shape eval batches: canvases padded to the dataset canvas rounded
+    up to the architecture block size (one XLA program for the whole pass).
+    The final short batch is padded with repeats; 'count' gives the real
+    number of samples (padded entries get labels all-255 so they cannot
+    perturb the confusion matrix)."""
+    ch = -(-source.canvas_hw[0] // block_size[0]) * block_size[0]
+    cw = -(-source.canvas_hw[1] // block_size[1]) * block_size[1]
+    builder = HostBatchBuilder(
+        source, geom=None, with_labels=with_labels, canvas_hw=(ch, cw),
+        cache_items=1,
+    )
+    indices = np.asarray(indices)
+    rng = np.random.RandomState(0)
+    for start in range(0, len(indices), batch_size):
+        chunk = indices[start:start + batch_size]
+        count = len(chunk)
+        if count < batch_size:
+            chunk = np.concatenate([chunk, chunk[:1].repeat(batch_size - count)])
+        batch = builder.build(chunk, rng)
+        if with_labels and count < batch_size:
+            batch["labels"][count:] = 255
+        batch["count"] = count
+        batch["indices"] = chunk
+        yield batch

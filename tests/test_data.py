@@ -1,0 +1,179 @@
+"""Data-layer tests: zip sources, split determinism (bit-compatibility with
+the reference's RandomState semantics), loaders and eval batching."""
+
+import os
+import pickle
+import zipfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cutmix_seg_tpu.data import datasets, sources
+from cutmix_seg_tpu.data.loader import (
+    HostBatchBuilder,
+    InfiniteShuffler,
+    eval_batches,
+    train_stream,
+)
+from cutmix_seg_tpu.aug.params import GeomConfig
+
+
+def _png_bytes(arr):
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture
+def cityscapes_zip(tmp_path):
+    rng = np.random.RandomState(0)
+    path = tmp_path / "cityscapes_segmentation.zip"
+    with zipfile.ZipFile(path, "w") as zf:
+        for split, n in (("train", 6), ("val", 3)):
+            for i in range(n):
+                img = rng.randint(0, 255, size=(32, 64, 3), dtype=np.uint8)
+                lab = rng.randint(0, 34, size=(32, 64), dtype=np.uint8)
+                zf.writestr(f"{split}/sample{i}_x.png", _png_bytes(img))
+                zf.writestr(f"{split}/sample{i}_y.png", _png_bytes(lab))
+    return str(path)
+
+
+@pytest.fixture
+def isic_zip(tmp_path):
+    rng = np.random.RandomState(1)
+    path = tmp_path / "isic2017_segmentation.zip"
+    with zipfile.ZipFile(path, "w") as zf:
+        for split, n in (("train", 8), ("val", 4)):
+            for i in range(n):
+                img = rng.randint(0, 255, size=(24, 24, 3), dtype=np.uint8)
+                lab = (rng.uniform(size=(24, 24)) * 255).astype(np.uint8)
+                zf.writestr(f"{split}/img{i}_x.png", _png_bytes(img))
+                zf.writestr(f"{split}/img{i}_y.png", _png_bytes(lab))
+        zf.writestr(
+            "rgb_mean_std.pkl",
+            pickle.dumps({"rgb_mean": np.array([0.5, 0.4, 0.3]),
+                          "rgb_std": np.array([0.2, 0.2, 0.2])}),
+        )
+    return str(path)
+
+
+def test_cityscapes_source_splits_and_remap(cityscapes_zip):
+    ds = sources.CityscapesDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    assert ds.num_classes == 19
+    assert len(ds.train_ndx) == 6 and len(ds.val_ndx) == 3
+    assert ds.test_ndx is None
+    y = ds.get_labels(0)
+    assert y.dtype == np.int32
+    # void classes (e.g. raw id 0 = 'unlabeled') must map to 255
+    assert set(np.unique(y)).issubset(set(range(19)) | {255})
+    img = ds.get_image(0)
+    assert img.shape == (32, 64, 3) and img.dtype == np.uint8
+
+
+def test_holdout_split_semantics(cityscapes_zip):
+    """n_val > 0: official val becomes test; last n_val of permuted train
+    become val (reference: cityscapes_dataset.py:92-103)."""
+    val_rng = np.random.RandomState(131)
+    ds = sources.CityscapesDataSource(
+        n_val=2, val_rng=val_rng, trainval_perm=None, zip_path=cityscapes_zip)
+    assert len(ds.val_ndx) == 2
+    assert len(ds.train_ndx) == 4
+    assert len(ds.test_ndx) == 3
+    # deterministic: rebuilding with the same seed gives the same split
+    ds2 = sources.CityscapesDataSource(
+        n_val=2, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    np.testing.assert_array_equal(ds.val_ndx, ds2.val_ndx)
+    # and matches the exact RandomState(131) permutation semantics
+    train_all = np.array([i for i, n in enumerate(ds.sample_names)
+                          if n.startswith("train/")])
+    perm = np.random.RandomState(131).permutation(len(train_all))
+    np.testing.assert_array_equal(ds.val_ndx, train_all[perm][-2:])
+
+
+def test_isic_source(isic_zip):
+    ds = sources.ISIC2017DataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=isic_zip)
+    assert ds.num_classes == 2
+    y = ds.get_labels(0)
+    assert set(np.unique(y)).issubset({0, 1})
+    mean, std = ds.get_mean_std()
+    np.testing.assert_allclose(mean, [0.5, 0.4, 0.3])
+
+
+def test_load_dataset_sup_selection(cityscapes_zip, monkeypatch):
+    """sup_ndx must be train_ndx[RandomState(split_seed).permutation[:n_sup]]
+    exactly (reference: datapipe/datasets.py:47-64)."""
+    out = datasets.load_dataset(
+        "cityscapes", n_val=-1, val_seed=131, n_sup=3, n_unsup=-1,
+        split_seed=12345, split_path=None, zip_path=cityscapes_zip)
+    ds = out["ds_src"]
+    perm = np.random.RandomState(12345).permutation(len(ds.train_ndx))
+    np.testing.assert_array_equal(out["sup_ndx"], ds.train_ndx[perm[:3]])
+    np.testing.assert_array_equal(out["unsup_ndx"], ds.train_ndx[perm])
+
+
+def test_load_dataset_split_path(cityscapes_zip, tmp_path):
+    """A pickled permutation reorders train; sup picks its head with an
+    identity train_perm (reference: datasets.py:50-56)."""
+    perm = np.array([5, 2, 0, 1, 4, 3])
+    split_path = tmp_path / "split_0.pkl"
+    with open(split_path, "wb") as f:
+        pickle.dump(perm, f)
+    out = datasets.load_dataset(
+        "cityscapes", n_val=-1, val_seed=131, n_sup=2, n_unsup=-1,
+        split_seed=12345, split_path=str(split_path), zip_path=cityscapes_zip)
+    ds = out["ds_src"]
+    train_all = np.array([i for i, n in enumerate(ds.sample_names)
+                          if n.startswith("train/")])
+    np.testing.assert_array_equal(out["sup_ndx"], train_all[perm][:2])
+
+
+def test_infinite_shuffler_covers_subset():
+    rng = np.random.RandomState(0)
+    sh = InfiniteShuffler([10, 20, 30, 40, 50], rng)
+    first_pass = sh.take(5)
+    assert sorted(first_pass) == [10, 20, 30, 40, 50]
+    batch = sh.take(7)  # crosses a reshuffle boundary
+    assert set(batch).issubset({10, 20, 30, 40, 50})
+
+
+def test_host_batch_builder_and_stream(cityscapes_zip):
+    ds = sources.CityscapesDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    geom = GeomConfig(crop_size=(24, 24), mode="crop", hflip=True)
+    builder = HostBatchBuilder(ds, geom, with_labels=True, canvas_hw=(32, 64))
+    batch = builder.build(ds.train_ndx[:4], np.random.RandomState(0))
+    assert batch["canvas"].shape == (4, 32, 64, 3)
+    assert batch["labels"].shape == (4, 32, 64)
+    np.testing.assert_array_equal(batch["sizes"], [[32, 64]] * 4)
+    assert batch["m"].shape == (4, 2, 3)
+    # canvas content matches the decoded image
+    np.testing.assert_array_equal(batch["canvas"][0], ds.get_image(int(ds.train_ndx[0])))
+
+    stream = train_stream(builder, ds.train_ndx, batch_size=3, seed=7)
+    b1 = next(stream)
+    b2 = next(stream)
+    assert b1["canvas"].shape[0] == 3 and b2["canvas"].shape[0] == 3
+    stream.close()
+
+
+def test_eval_batches_padding(cityscapes_zip):
+    ds = sources.CityscapesDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    batches = list(eval_batches(ds, ds.val_ndx, batch_size=2, block_size=(32, 32)))
+    assert len(batches) == 2
+    assert batches[0]["count"] == 2 and batches[1]["count"] == 1
+    # padded entry carries all-255 labels so it can't perturb the metric
+    assert (batches[1]["labels"][1] == 255).all()
+    # canvas rounded to block multiples
+    assert batches[0]["canvas"].shape[1] % 32 == 0
+    assert batches[0]["canvas"].shape[2] % 32 == 0
