@@ -28,7 +28,7 @@ BATCH = 10
 CROP = 321
 NUM_CLASSES = 21
 WARMUP = 3
-ITERS = 20
+ITERS = 50
 
 
 def main():
@@ -56,7 +56,9 @@ def main():
         lr_schedule=make_lr_schedule("none", 3e-5, total_iters),
     )
     state, tx = create_train_state(
-        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(CROP, CROP),
+        # init at a small spatial size: parameter shapes are spatial-size
+        # independent and the full-size init program is slow to compile
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(65, 65),
         mean_teacher=True, pretrained=False,
     )
     cfg = MaskConsistencyConfig(

@@ -1,0 +1,167 @@
+"""Shared trainer plumbing: model/optimizer/state construction, device
+augmentation of host batches, evaluation passes, NaN bail-out, and the
+reference's per-epoch log line format
+(reference: train_seg_semisup_mask_mt.py:85-144,479-577).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutmix_seg_tpu.aug.device import augment_batch, border_for_mode
+from cutmix_seg_tpu.aug.params import GeomConfig
+from cutmix_seg_tpu.core.schedules import make_lr_schedule
+from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn, predict_fn
+from cutmix_seg_tpu.models import registry
+from cutmix_seg_tpu.ops.colour import ColourJitterConfig
+from cutmix_seg_tpu.ops.iou import EvaluatorIoU
+from cutmix_seg_tpu.parallel.mesh import jit_sharded_eval, make_mesh, shard_batch
+
+
+def parse_crop_size(crop_size: str):
+    if crop_size == "":
+        return None
+    return tuple(int(x.strip()) for x in crop_size.split(","))
+
+
+def parse_prop_range(s: str):
+    if ":" in s:
+        a, b = s.split(":")
+        return (float(a.strip()), float(b.strip()))
+    v = float(s)
+    return (v, v)
+
+
+def build_model(arch: str, num_classes: int, compute_dtype: str = "bfloat16",
+                pretrained: bool = True):
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[compute_dtype]
+    factory = registry.get(arch)
+    return factory(num_classes, dtype=dtype, pretrained=pretrained)
+
+
+def resolve_mean_std(model, ds):
+    """Net overrides dataset stats (reference: seg_transforms.get_mean_std)."""
+    mean, std = ds.get_mean_std()
+    if model.mean is not None:
+        mean = model.mean
+    if model.std is not None:
+        std = model.std
+    return np.asarray(mean, np.float64), np.asarray(std, np.float64)
+
+
+def build_optimizer_config(opt_type, learning_rate, lr_sched, lr_step_epochs,
+                           lr_step_gamma, lr_poly_power, total_iters,
+                           iters_per_epoch, sgd_momentum, sgd_nesterov,
+                           sgd_weight_decay) -> OptimizerConfig:
+    sched = make_lr_schedule(
+        lr_sched, learning_rate, total_iters, step_epochs=lr_step_epochs,
+        step_gamma=lr_step_gamma, poly_power=lr_poly_power,
+        iters_per_epoch=iters_per_epoch)
+    return OptimizerConfig(
+        opt_type=opt_type,
+        learning_rate=learning_rate,
+        sgd_momentum=sgd_momentum,
+        sgd_nesterov=sgd_nesterov,
+        sgd_weight_decay=sgd_weight_decay,
+        lr_schedule=sched,
+    )
+
+
+@dataclasses.dataclass
+class DeviceAugmentor:
+    """Applies the fused device augmentation to host canvas batches."""
+
+    mean: np.ndarray
+    std: np.ndarray
+    crop_hw: Tuple[int, int]
+    geom_mode: str
+    colour: Optional[ColourJitterConfig] = None
+
+    def sup(self, host_batch) -> Dict[str, jnp.ndarray]:
+        out = augment_batch(
+            jnp.asarray(host_batch["canvas"]),
+            jnp.asarray(host_batch["labels"]),
+            jnp.asarray(host_batch["m"]),
+            jnp.asarray(host_batch["sizes"]),
+            jnp.asarray(host_batch["interp"]),
+            self.mean, self.std, None,
+            out_hw=self.crop_hw, with_labels=True,
+            border=border_for_mode(self.geom_mode),
+        )
+        return out
+
+    def unsup(self, host_batch, key) -> Dict[str, jnp.ndarray]:
+        out = augment_batch(
+            jnp.asarray(host_batch["canvas"]),
+            None,
+            jnp.asarray(host_batch["m"]),
+            jnp.asarray(host_batch["sizes"]),
+            jnp.asarray(host_batch["interp"]),
+            self.mean, self.std, key,
+            out_hw=self.crop_hw, with_labels=False,
+            colour_cfg=self.colour,
+            border=border_for_mode(self.geom_mode),
+        )
+        if "image_stu" not in out:
+            out["image_stu"] = out["image"]
+        return out
+
+
+def evaluate(model, model_state, source, indices, batch_size, mesh,
+             num_classes, mean, std, block_size, fill_holes=False):
+    """Full eval pass -> per-class IoU array (reference metric semantics)."""
+    from cutmix_seg_tpu.data.loader import eval_batches
+    from cutmix_seg_tpu.aug import affine as host_affine
+
+    eval_fn = make_eval_cm_fn(model, num_classes)
+    ev = EvaluatorIoU(num_classes, fill_holes=fill_holes)
+
+    for batch in eval_batches(source, indices, batch_size, block_size):
+        n = batch["canvas"].shape[0]
+        ident = host_affine.identity(n)
+        aug = augment_batch(
+            jnp.asarray(batch["canvas"]),
+            jnp.asarray(batch["labels"]),
+            jnp.asarray(ident),
+            jnp.asarray(batch["sizes"]),
+            jnp.asarray(np.ones(n, np.int32)),
+            mean, std, None,
+            out_hw=batch["canvas"].shape[1:3], with_labels=True,
+        )
+        x, y = aug["image"], aug["labels"]
+        if fill_holes:
+            # hole filling is a host-side morphological op on the argmax
+            pred = np.asarray(predict_fn(model, model_state, x))
+            ev.update_batch(pred[: batch["count"]],
+                            np.asarray(y)[: batch["count"]])
+        else:
+            cm = eval_fn(model_state, {"x": x, "y": y})
+            ev.update_cm(np.asarray(cm))
+    return ev.score()
+
+
+def fetch_metrics(metric_list):
+    """Convert a list of device metric dicts to per-key means (one transfer
+    per key at epoch end keeps the step stream async)."""
+    if not metric_list:
+        return {}
+    keys = metric_list[0].keys()
+    out = {}
+    for k in keys:
+        vals = np.asarray([np.asarray(m[k]) for m in metric_list], dtype=np.float64)
+        out[k] = float(vals.mean())
+    return out
+
+
+def check_nan(value: float) -> bool:
+    """The reference's bail-out (train_seg_semisup_mask_mt.py:469-472)."""
+    if np.isnan(value):
+        print("NaN detected; network dead, bailing.")
+        return True
+    return False
