@@ -1,0 +1,123 @@
+"""Fused ICT (Interpolation Consistency Training) mean-teacher step.
+
+Re-derivation of the reference ICT baseline trainer's unsupervised branch
+(reference: train_seg_semisup_ict.py:265-402) as one jitted program:
+
+  * two unsupervised batches drawn from ONE stream;
+  * per-sample mix factor lambda ~ Beta(ict_alpha, ict_alpha) — sampled on
+    device with jax.random.beta (the reference uses NumPy; same distribution);
+  * the student sees the blended image; the teacher's logits AND probabilities
+    are blended separately with the same lambda (unlike CutMix's hard masks,
+    blending probs != softmax of blended logits — the reference keeps both,
+    using blended probs for 'var'/'bce'/'kld' targets and blended logits for
+    the logit-space losses; ict.py:320-341,360-378);
+  * confidence = blend of the two per-pixel teacher confidences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cutmix_seg_tpu.core.train_state import TrainState
+from cutmix_seg_tpu.semisup import losses as L
+from cutmix_seg_tpu.semisup.stepcore import (
+    ConsistencyCommon,
+    apply_model,
+    confidence_px,
+    finish_step,
+    masked_consistency,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ICTConfig(ConsistencyCommon):
+    ict_alpha: float = 0.1
+
+
+def make_ict_step(model, tx, cfg: ICTConfig):
+    """batch: sup_x, sup_y, ux0_tea, ux0_stu, um0, ux1_tea, ux1_stu, um1
+    (unsup leading dim R*B). Returns step(state, batch, ramp_val)."""
+    use_cons = cfg.cons_weight > 0.0
+
+    def step(state: TrainState, batch, ramp_val):
+        rng, k_beta, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 4)
+        tea_state = state.teacher if cfg.mean_teacher else state.student
+        tea_stats = tea_state.batch_stats
+
+        if use_cons:
+            ux0, ux1 = batch["ux0_stu"], batch["ux1_stu"]
+            n = ux0.shape[0]
+            lam = jax.random.beta(
+                k_beta, cfg.ict_alpha, cfg.ict_alpha, shape=(n, 1, 1, 1)
+            ).astype(ux0.dtype)
+            x_mixed = ux0 * (1.0 - lam) + ux1 * lam
+            um_mixed = batch["um0"] * (1.0 - lam) + batch["um1"] * lam
+
+            tea0, tea_stats = apply_model(
+                model, tea_state.params, tea_stats, batch["ux0_tea"],
+                train=True, freeze_bn=cfg.freeze_bn)
+            tea1, tea_stats = apply_model(
+                model, tea_state.params, tea_stats, batch["ux1_tea"],
+                train=True, freeze_bn=cfg.freeze_bn)
+            tea0 = jax.lax.stop_gradient(tea0.astype(jnp.float32))
+            tea1 = jax.lax.stop_gradient(tea1.astype(jnp.float32))
+            p0, p1 = jax.nn.softmax(tea0, axis=-1), jax.nn.softmax(tea1, axis=-1)
+            lam32 = lam.astype(jnp.float32)
+            logits_tea_mix = tea0 * (1 - lam32) + tea1 * lam32
+            prob_tea_mix = p0 * (1 - lam32) + p1 * lam32
+            conf_mix = (
+                p0.max(axis=-1, keepdims=True) * (1 - lam32)
+                + p1.max(axis=-1, keepdims=True) * lam32
+            )
+            conf_px = confidence_px(cfg, conf_mix)
+
+        def loss_fn(params):
+            logits_sup, stats = apply_model(
+                model, params, state.student.batch_stats, batch["sup_x"],
+                train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_sup)
+            sup_loss = L.cross_entropy_ignore(
+                logits_sup, batch["sup_y"], cfg.ignore_value)
+            metrics = {"sup_loss": sup_loss}
+            total = sup_loss
+            if use_cons:
+                logits_stu, stats = apply_model(
+                    model, params, stats, x_mixed,
+                    train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns)
+                logits_stu = logits_stu.astype(jnp.float32)
+                # prob-space targets are the BLENDED probs; logit-space targets
+                # the blended logits (reference: ict.py:360-378)
+                lf = cfg.cons_loss_fn
+                if lf == "var":
+                    d = jax.nn.softmax(logits_stu, axis=-1) - prob_tea_mix
+                    per_px = (d * d).sum(axis=-1, keepdims=True)
+                elif lf in ("logits_var", "logits_smoothl1"):
+                    per_px = L.consistency_loss_per_pixel(lf, logits_stu, logits_tea_mix)
+                elif lf == "bce":
+                    per_px = L.robust_binary_crossentropy(
+                        jax.nn.softmax(logits_stu, axis=-1), prob_tea_mix
+                    ).sum(axis=-1, keepdims=True)
+                elif lf == "kld":
+                    logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
+                    safe_p = jnp.maximum(prob_tea_mix, 1e-20)
+                    per_px = (prob_tea_mix * (jnp.log(safe_p) - logp_stu)).sum(
+                        axis=-1, keepdims=True)
+                else:
+                    raise ValueError(f"unknown consistency loss {lf!r}")
+
+                loss_sum, loss_mean, conf_rate = masked_consistency(
+                    cfg, per_px, um_mixed.astype(jnp.float32), conf_px)
+                total = total + loss_sum * ramp_val * cfg.cons_weight
+                metrics["cons_loss"] = loss_mean
+                metrics["conf_rate"] = conf_rate
+            return total, (stats, metrics)
+
+        grads, (new_stu_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.student.params)
+        new_state = finish_step(state, tx, grads, new_stu_stats,
+                                tea_state.params, tea_stats, cfg, rng)
+        return new_state, metrics
+
+    return step

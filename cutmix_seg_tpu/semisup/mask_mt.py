@@ -23,44 +23,25 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import optax
 
-from cutmix_seg_tpu.core.train_state import ModelState, TrainState
+from cutmix_seg_tpu.core.train_state import TrainState
 from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig, sample_masks
 from cutmix_seg_tpu.semisup import losses as L
-from cutmix_seg_tpu.semisup.ema import ema_update
+from cutmix_seg_tpu.semisup.stepcore import (
+    ConsistencyCommon,
+    apply_model,
+    confidence_px,
+    finish_step,
+    masked_consistency,
+)
+
+__all__ = ["MaskConsistencyConfig", "make_mask_mt_step", "apply_model"]
 
 
 @dataclasses.dataclass(frozen=True)
-class MaskConsistencyConfig:
+class MaskConsistencyConfig(ConsistencyCommon):
     mask_mode: str = "mix"  # 'mix' (CutMix) | 'zero' (Cutout)
     box: BoxMaskConfig = BoxMaskConfig((0.5, 0.5))
-    cons_loss_fn: str = "var"
-    cons_weight: float = 1.0
-    conf_thresh: float = 0.97
-    conf_per_pixel: bool = False
-    freeze_bn: bool = True
-    mean_teacher: bool = True  # False = pi-model (teacher aliases student)
-    teacher_alpha: float = 0.99
-    unsup_batch_ratio: int = 1
-    ignore_value: int = 255
-
-
-def apply_model(model, params, batch_stats, x, *, train, freeze_bn, rng=None):
-    """Forward through a SegModel, returning (logits, new_batch_stats)."""
-    variables = {"params": params}
-    has_stats = bool(batch_stats)
-    if has_stats:
-        variables["batch_stats"] = batch_stats
-    rngs = {"dropout": rng} if rng is not None else None
-    if train and not freeze_bn and has_stats:
-        out, updates = model.module.apply(
-            variables, x, train=train, freeze_bn=freeze_bn,
-            mutable=["batch_stats"], rngs=rngs,
-        )
-        return out, updates["batch_stats"]
-    out = model.module.apply(variables, x, train=train, freeze_bn=freeze_bn, rngs=rngs)
-    return out, batch_stats
 
 
 def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
@@ -78,21 +59,14 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
 
     Returns step(state, batch, ramp_val) -> (state, metrics).
     """
-    R = cfg.unsup_batch_ratio
     use_cons = cfg.cons_weight > 0.0
-
-    def subbatch_mean(arr):
-        # mean per sub-batch of R folded batches, matching the reference's
-        # per-unsup-batch (loss * mask).mean()
-        return arr.reshape((R, -1)).mean(axis=1)
 
     def step(state: TrainState, batch, ramp_val):
         rng, k_mask, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 4)
         tea_state = state.teacher if cfg.mean_teacher else state.student
+        tea_stats = tea_state.batch_stats
 
         # ---- teacher forwards + mixing geometry: all outside the grad ----
-        tea_stats = tea_state.batch_stats
-        x_stu_cons = logits_tea = loss_mask = None
         if use_cons:
             if cfg.mask_mode == "mix":
                 ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
@@ -120,8 +94,10 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
                     train=True, freeze_bn=cfg.freeze_bn)
             else:
                 raise ValueError(f"unknown mask_mode {cfg.mask_mode!r}")
-            logits_tea = jax.lax.stop_gradient(logits_tea)
-            prob_tea = jax.nn.softmax(logits_tea.astype(jnp.float32), axis=-1)
+            logits_tea = jax.lax.stop_gradient(logits_tea.astype(jnp.float32))
+            prob_tea = jax.nn.softmax(logits_tea, axis=-1)
+            conf_px = confidence_px(cfg, prob_tea.max(axis=-1, keepdims=True))
+            loss_mask = loss_mask.astype(jnp.float32)
 
         # ---- student losses under grad ----
         def loss_fn(params):
@@ -142,48 +118,18 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
                 per_px = L.consistency_loss_per_pixel(
                     cfg.cons_loss_fn, logits_stu, logits_tea
                 )
-                lm = loss_mask
-                if cfg.conf_thresh > 0.0:
-                    conf = prob_tea.max(axis=-1, keepdims=True)
-                    conf_px = (conf >= cfg.conf_thresh).astype(jnp.float32)
-                    conf_rates = subbatch_mean(conf_px)  # (R,)
-                    if cfg.conf_per_pixel:
-                        masked = subbatch_mean(per_px * (lm * conf_px))
-                    else:
-                        masked = subbatch_mean(per_px * lm) * conf_rates
-                    conf_rate = conf_rates.mean()
-                else:
-                    masked = subbatch_mean(per_px * lm)
-                    conf_rate = jnp.float32(1.0)
-                # reference backwards each sub-batch's mean: total grad = sum
-                total = total + masked.sum() * ramp_val * cfg.cons_weight
-                metrics["cons_loss"] = masked.mean()
+                loss_sum, loss_mean, conf_rate = masked_consistency(
+                    cfg, per_px, loss_mask, conf_px)
+                total = total + loss_sum * ramp_val * cfg.cons_weight
+                metrics["cons_loss"] = loss_mean
                 metrics["conf_rate"] = conf_rate
             return total, (stats, metrics)
 
         grads, (new_stu_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.student.params
         )
-        updates, new_opt_state = tx.update(
-            grads, state.opt_state, state.student.params
-        )
-        new_params = optax.apply_updates(state.student.params, updates)
-        new_student = ModelState(params=new_params, batch_stats=new_stu_stats)
-
-        if cfg.mean_teacher:
-            tea_after_fwd = ModelState(params=tea_state.params, batch_stats=tea_stats)
-            new_teacher = ema_update(tea_after_fwd, new_student, cfg.teacher_alpha)
-        else:
-            # pi-model: teacher aliases the student; keep the empty placeholder
-            new_teacher = state.teacher
-
-        new_state = TrainState(
-            step=state.step + 1,
-            student=new_student,
-            teacher=new_teacher,
-            opt_state=new_opt_state,
-            rng=rng,
-        )
+        new_state = finish_step(state, tx, grads, new_stu_stats,
+                                tea_state.params, tea_stats, cfg, rng)
         return new_state, metrics
 
     return step
