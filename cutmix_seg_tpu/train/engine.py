@@ -1,0 +1,358 @@
+"""Shared training engine for the four semi-supervised trainers.
+
+One parameterised loop covers what the reference implements as four ~600-line
+trainer scripts (train_seg_semisup_{mask_mt,ict,vat_mt,aug_mt}.py): dataset
+splits, model/optimizer/state construction, host loaders, device
+augmentation, the fused algorithm step, per-epoch EMA-teacher evaluation with
+the reference's exact log line, JSONL metrics, checkpoints/resume, NaN
+bail-out, and the final save-model / save-preds / test-eval stage
+(reference: train_seg_semisup_mask_mt.py:64-577). Each trainer supplies an
+``AlgorithmSpec``: the fused step factory plus how to compose its
+unsupervised batch from host streams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutmix_seg_tpu.aug import affine as host_affine
+from cutmix_seg_tpu.aug.device import augment_batch, border_for_mode
+from cutmix_seg_tpu.aug.params import GeomConfig
+from cutmix_seg_tpu.core import checkpoint as ckpt
+from cutmix_seg_tpu.core import job
+from cutmix_seg_tpu.core.train_state import create_train_state
+from cutmix_seg_tpu.data import datasets
+from cutmix_seg_tpu.data.loader import HostBatchBuilder, train_stream
+from cutmix_seg_tpu.ops.colour import ColourJitterConfig
+from cutmix_seg_tpu.ops.iou import EvaluatorIoU
+from cutmix_seg_tpu.parallel.mesh import jit_sharded_step, make_mesh, shard_batch
+from cutmix_seg_tpu.semisup.stepcore import ConsistencyCommon
+from cutmix_seg_tpu.train import common
+from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
+
+
+@dataclasses.dataclass
+class AlgorithmSpec:
+    """What differs between the four trainers.
+
+    make_step(model, tx) -> fused step fn.
+    unsup_streams: number of independent unsupervised streams (mask_mt mix: 2;
+        others: 1). ICT draws twice from its single stream.
+    draws_per_iter: host batches taken from stream 0 per iteration.
+    pair_geom: sample two correlated geometric transforms per image (aug_mt).
+    compose: fn(engine, streams, key) -> unsup part of the step batch.
+    """
+
+    name: str
+    make_step: Callable
+    unsup_streams: int
+    draws_per_iter: int
+    pair_geom: bool
+    compose: Callable
+
+
+class TrainEngine:
+    def __init__(self, ctx: job.RunContext, spec: AlgorithmSpec,
+                 algo_cfg: ConsistencyCommon, p: dict):
+        self.ctx = ctx
+        self.spec = spec
+        self.algo_cfg = algo_cfg
+        self.p = dict(p)
+
+    # ---- construction ----
+    def setup(self):
+        p = self.p
+        self.crop_hw = common.parse_crop_size(p["crop_size"])
+        if self.crop_hw is None:
+            raise ValueError("the TPU pipeline requires a crop_size (static shapes)")
+
+        ds_dict = datasets.load_dataset(
+            p["dataset"], p["n_val"], p["val_seed"], p["n_sup"], p["n_unsup"],
+            p["split_seed"], p["split_path"])
+        self.ds = ds_dict["ds_src"]
+        self.sup_ndx = ds_dict["sup_ndx"]
+        self.unsup_ndx = ds_dict["unsup_ndx"]
+        self.val_ndx = ds_dict["val_ndx_tgt"]
+        self.test_ndx = ds_dict["test_ndx_tgt"]
+        self.n_classes = self.ds.num_classes
+        if p["bin_fill_holes"] and self.n_classes != 2:
+            print("Binary hole filling can only be used with binary (2-class) "
+                  "segmentation datasets")
+            return False
+        print("Loaded data")
+
+        self.model = common.build_model(p["arch"], self.n_classes,
+                                        p.get("compute_dtype", "bfloat16"))
+        self.mean, self.std = common.resolve_mean_std(self.model, self.ds)
+
+        if p["iters_per_epoch"] == -1:
+            p["iters_per_epoch"] = len(self.unsup_ndx) // p["batch_size"]
+        total_iters = p["iters_per_epoch"] * p["num_epochs"]
+        opt_cfg = common.build_optimizer_config(
+            p["opt_type"], p["learning_rate"], p["lr_sched"],
+            p["lr_step_epochs"], p["lr_step_gamma"], p["lr_poly_power"],
+            total_iters, p["iters_per_epoch"], p["sgd_momentum"],
+            p["sgd_nesterov"], p["sgd_weight_decay"])
+
+        self.mean_teacher = p["model"] == "mean_teacher"
+        if p["model"] not in ("mean_teacher", "pi"):
+            print(f"Unknown model type {p['model']}")
+            return False
+        self.state, self.tx = create_train_state(
+            self.model, opt_cfg, jax.random.PRNGKey(p.get("seed", 0)),
+            input_hw=(65, 65), mean_teacher=self.mean_teacher)
+        print("Built network")
+
+        self.start_epoch = 0
+        if p.get("resume"):
+            latest = ckpt.latest_checkpoint(self.ctx.checkpoint_dir)
+            if latest is not None:
+                self.state = ckpt.restore_checkpoint(latest, self.state)
+                self.start_epoch = int(self.state.step) // max(p["iters_per_epoch"], 1)
+                print(f"Resumed from {latest} at epoch {self.start_epoch}")
+
+        self.mesh = make_mesh(
+            None if p.get("n_devices", -1) == -1 else p["n_devices"])
+        self.n_data = self.mesh.shape["data"]
+        self.step = jit_sharded_step(
+            self.spec.make_step(self.model, self.tx), self.mesh)
+
+        self.geom = GeomConfig.from_cli(
+            self.crop_hw, p["aug_scale_hung"], p["aug_max_scale"],
+            p["aug_rot_mag"], p["aug_scale_non_uniform"], p["aug_hflip"],
+            p["aug_vflip"], p["aug_hvflip"])
+        if "aug_offset_range" in p:
+            # aug_mt pair options (reference: train_seg_semisup_aug_mt.py CLI)
+            off = p["aug_offset_range"]
+            self.geom = dataclasses.replace(
+                self.geom, crop_offset=(off, off),
+                constrain_rot_scale=not p.get("aug_free_scale_rot", False))
+        self.colour = (
+            ColourJitterConfig(
+                brightness=p["aug_colour_brightness"],
+                contrast=p["aug_colour_contrast"],
+                saturation=p["aug_colour_saturation"],
+                hue=p["aug_colour_hue"],
+                apply_prob=p["aug_colour_prob"],
+                greyscale_prob=p["aug_colour_greyscale_prob"])
+            if p["aug_strong_colour"] else None)
+        self.augmentor = common.DeviceAugmentor(
+            self.mean, self.std, self.crop_hw, self.geom.mode, self.colour)
+
+        seed = p.get("seed", 0)
+        global_batch = p["batch_size"] * self.n_data
+        self.global_batch = global_batch
+        sup_builder = HostBatchBuilder(self.ds, self.geom, with_labels=True,
+                                       n_threads=p["num_workers"])
+        self.sup_stream = train_stream(sup_builder, self.sup_ndx, global_batch,
+                                       seed=seed + 10)
+        self.streams = []
+        self.use_cons = self.algo_cfg.cons_weight > 0.0
+        if self.use_cons:
+            unsup_builder = HostBatchBuilder(
+                self.ds, self.geom, with_labels=False,
+                pair_geom=self.spec.pair_geom, n_threads=p["num_workers"])
+            ub = global_batch * p["unsup_batch_ratio"]
+            for si in range(self.spec.unsup_streams):
+                self.streams.append(train_stream(
+                    unsup_builder, self.unsup_ndx, ub, seed=seed + 20 + si * 10))
+
+        print("Settings:")
+        print(", ".join(f"{k}={self.p[k]}" for k in sorted(self.p)))
+        print("Dataset:")
+        print(f"len(sup_ndx)={len(self.sup_ndx)}")
+        print(f"len(unsup_ndx)={len(self.unsup_ndx)}")
+        print(f"len(val_ndx)={len(self.val_ndx)}")
+        if self.test_ndx is not None:
+            print(f"len(test_ndx)={len(self.test_ndx)}")
+        if p["n_sup"] != -1:
+            print(f"sup_ndx={self.sup_ndx.tolist()}")
+
+        self.colour_key = jax.random.PRNGKey(seed + 40)
+        return True
+
+    # ---- batches ----
+    def next_key(self):
+        self.colour_key, k = jax.random.split(self.colour_key)
+        return k
+
+    def make_step_batch(self):
+        sup = self.augmentor.sup(next(self.sup_stream))
+        batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
+        if self.use_cons:
+            batch.update(self.spec.compose(self, self.streams, self.next_key()))
+        return shard_batch(self.mesh, batch)
+
+    def eval_state(self):
+        return self.state.teacher if self.mean_teacher else self.state.student
+
+    # ---- the loop ----
+    def run(self):
+        if not self.setup():
+            return
+        p = self.p
+        print("Training...")
+        for epoch_i in range(self.start_epoch, p["num_epochs"]):
+            t1 = time.time()
+            ramp_val = sigmoid_rampup(epoch_i, p["rampup"]) if p["rampup"] > 0 else 1.0
+            ramp = jnp.float32(ramp_val)
+
+            metric_accum = []
+            for it in range(p["iters_per_epoch"]):
+                batch = self.make_step_batch()
+                self.state, metrics = self.step(self.state, batch, ramp)
+                metric_accum.append(metrics)
+                if (it + 1) % p.get("nan_check_interval", 100) == 0:
+                    if common.check_nan(float(metrics["sup_loss"])):
+                        return
+
+            m = common.fetch_metrics(metric_accum)
+            sup_loss_acc = m.get("sup_loss", 0.0)
+            cons_loss_acc = m.get("cons_loss", 0.0)
+            conf_rate_acc = m.get("conf_rate",
+                                  ramp_val if p["rampup"] > 0 else 0.0)
+            if common.check_nan(sup_loss_acc) or common.check_nan(cons_loss_acc):
+                return
+
+            iou = common.evaluate(
+                self.model, self.eval_state(), self.ds, self.val_ndx,
+                p["batch_size"], self.mesh, self.n_classes, self.mean,
+                self.std, self.model.block_size, p["bin_fill_holes"])
+            miou = iou.mean()
+            t2 = time.time()
+            print(
+                "Epoch {}: took {:.3f}s, TRAIN clf loss={:.6f}, consistency "
+                "loss={:.6f}, conf rate={:.3%}, VAL mIoU={:.3%}".format(
+                    epoch_i + 1, t2 - t1, sup_loss_acc, cons_loss_acc,
+                    conf_rate_acc, miou))
+            print("-- {}".format(", ".join(f"{x:.3%}" for x in iou)))
+
+            self.ctx.log_metrics({
+                "epoch": epoch_i + 1, "sup_loss": sup_loss_acc,
+                "cons_loss": cons_loss_acc, "conf_rate": conf_rate_acc,
+                "val_miou": float(miou), "epoch_time": t2 - t1,
+                "images_per_sec":
+                    p["iters_per_epoch"] * self.global_batch / max(t2 - t1, 1e-9),
+            })
+            ckpt.save_checkpoint(self.ctx.checkpoint_dir, self.state,
+                                 int(self.state.step))
+
+        self.finalise()
+
+    # ---- final artifacts ----
+    def finalise(self):
+        p = self.p
+        if p["save_model"]:
+            ckpt.export_params(
+                os.path.join(self.ctx.run_dir, "model.msgpack"), self.eval_state())
+
+        if p["save_preds"] or self.test_ndx is not None:
+            from cutmix_seg_tpu.data.loader import eval_batches
+            from cutmix_seg_tpu.eval.evaluator import predict_fn
+
+            out_dir = (os.path.join(self.ctx.run_dir, "preds")
+                       if p["save_preds"] else None)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+
+            def predict_over(indices, evaluator=None):
+                for batch in eval_batches(self.ds, indices, p["batch_size"],
+                                          self.model.block_size):
+                    n = batch["canvas"].shape[0]
+                    aug = augment_batch(
+                        jnp.asarray(batch["canvas"]),
+                        jnp.asarray(batch["labels"]),
+                        jnp.asarray(host_affine.identity(n)),
+                        jnp.asarray(batch["sizes"]),
+                        jnp.asarray(np.ones(n, np.int32)),
+                        self.mean, self.std, None,
+                        out_hw=batch["canvas"].shape[1:3], with_labels=True)
+                    pred = np.asarray(
+                        predict_fn(self.model, self.eval_state(), aug["image"]))
+                    for k in range(batch["count"]):
+                        i = int(batch["indices"][k])
+                        h, w = batch["sizes"][k]
+                        if out_dir:
+                            self.ds.save_prediction_by_index(
+                                out_dir, pred[k, :h, :w], i)
+                        if evaluator is not None:
+                            evaluator.update_batch(
+                                pred[k: k + 1, :h, :w],
+                                np.asarray(aug["labels"])[k: k + 1, :h, :w])
+
+            if p["save_preds"]:
+                predict_over(self.val_ndx)
+            if self.test_ndx is not None:
+                test_ev = EvaluatorIoU(self.n_classes, p["bin_fill_holes"])
+                predict_over(self.test_ndx, test_ev)
+                test_iou = test_ev.score()
+                print("FINAL TEST: mIoU={:.3%}".format(test_iou.mean()))
+                print("-- TEST {}".format(", ".join(f"{x:.3%}" for x in test_iou)))
+
+        self.sup_stream.close()
+        for s in self.streams:
+            s.close()
+
+
+# ---- unsupervised batch composers ----
+
+def compose_mask_mix(engine: TrainEngine, streams, key):
+    k0, k1 = jax.random.split(key)
+    u0 = engine.augmentor.unsup(next(streams[0]), k0)
+    u1 = engine.augmentor.unsup(next(streams[1]), k1)
+    return dict(ux0_tea=u0["image"], ux0_stu=u0["image_stu"], um0=u0["mask"],
+                ux1_tea=u1["image"], ux1_stu=u1["image_stu"], um1=u1["mask"])
+
+
+def compose_mask_zero(engine: TrainEngine, streams, key):
+    u = engine.augmentor.unsup(next(streams[0]), key)
+    return dict(ux_tea=u["image"], ux_stu=u["image_stu"], um=u["mask"])
+
+
+def compose_ict(engine: TrainEngine, streams, key):
+    """Two draws from ONE stream (reference: train_seg_semisup_ict.py:272-273)."""
+    k0, k1 = jax.random.split(key)
+    u0 = engine.augmentor.unsup(next(streams[0]), k0)
+    u1 = engine.augmentor.unsup(next(streams[0]), k1)
+    return dict(ux0_tea=u0["image"], ux0_stu=u0["image_stu"], um0=u0["mask"],
+                ux1_tea=u1["image"], ux1_stu=u1["image_stu"], um1=u1["mask"])
+
+
+def compose_vat(engine: TrainEngine, streams, key):
+    u = engine.augmentor.unsup(next(streams[0]), key)
+    return dict(ux_tea=u["image"], ux_stu=u["image_stu"], um=u["mask"])
+
+
+def compose_aug_pair(engine: TrainEngine, streams, key):
+    """Paired geometry: two correlated crops of each image; the relative
+    transform xf0->1 = grid(m1 . inv(m0)) rides along
+    (reference: datapipe/seg_data.py:219-232). Colour jitter, when enabled,
+    applies to element 1 only (the student; aug_mt.py:150-158)."""
+    host = next(streams[0])
+    aug = engine.augmentor
+
+    b0 = dict(host, m=host["m0"], interp=host["interp0"])
+    b1 = dict(host, m=host["m1"], interp=host["interp1"])
+    u0 = _unsup_plain(aug, b0)  # teacher element: no colour jitter
+    u1 = aug.unsup(b1, key)
+
+    xf_cv = host_affine.compose(
+        host["m1"].astype(np.float64),
+        host_affine.invert(host["m0"].astype(np.float64)))
+    xf_grid = host_affine.cv_to_grid(xf_cv, engine.crop_hw).astype(np.float32)
+
+    return dict(ux0=u0["image"], ux1=u1["image_stu"], um0=u0["mask"],
+                um1=u1["mask"], xf0_to_1=jnp.asarray(xf_grid))
+
+
+def _unsup_plain(augmentor, host_batch):
+    """Unsup augmentation without the colour pair (teacher element)."""
+    plain = dataclasses.replace(augmentor, colour=None)
+    return plain.unsup(host_batch, None)

@@ -146,3 +146,70 @@ def test_mask_mt_trainer_cutout_pi(tiny_zip, tmp_path, monkeypatch):
         results_root=str(tmp_path / "results"))
     log = (tmp_path / "results" / "test_cutout" / "run1" / "log_run1.txt").read_text()
     assert "Epoch 1:" in log
+
+
+def _strip_mask_params(p):
+    for k in list(p):
+        if k.startswith("mask_") or k.startswith("boxmask_"):
+            del p[k]
+    return p
+
+
+def test_ict_trainer_end_to_end(tiny_zip, tmp_path, monkeypatch):
+    from cutmix_seg_tpu.train.ict import train_seg_semisup_ict
+
+    _patch_zip(monkeypatch, tiny_zip)
+    p = _strip_mask_params(_params(tiny_zip, num_epochs=1))
+    p["ict_alpha"] = 0.1
+    job.submit("test_ict", "run1", train_seg_semisup_ict, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_ict" / "run1" / "log_run1.txt").read_text()
+    assert "Epoch 1:" in log and "VAL mIoU=" in log
+
+
+def test_vat_trainer_end_to_end(tiny_zip, tmp_path, monkeypatch):
+    from cutmix_seg_tpu.train.vat_mt import train_seg_semisup_vat_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    p = _strip_mask_params(_params(tiny_zip, num_epochs=1,
+                                   aug_strong_colour=False))
+    p.update(vat_radius=0.5, adaptive_vat_radius=True,
+             vat_dir_from_student=False)
+    job.submit("test_vat", "run1", train_seg_semisup_vat_mt, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_vat" / "run1" / "log_run1.txt").read_text()
+    assert "Epoch 1:" in log and "VAL mIoU=" in log
+
+
+def test_aug_mt_trainer_end_to_end(tiny_zip, tmp_path, monkeypatch):
+    from cutmix_seg_tpu.train.aug_mt import train_seg_semisup_aug_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    p = _strip_mask_params(_params(tiny_zip, num_epochs=1,
+                                   aug_scale_hung=True))
+    p.update(aug_offset_range=8.0, aug_free_scale_rot=False)
+    job.submit("test_aug", "run1", train_seg_semisup_aug_mt, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_aug" / "run1" / "log_run1.txt").read_text()
+    assert "Epoch 1:" in log and "VAL mIoU=" in log
+
+
+def test_cli_surfaces():
+    """The four CLIs must expose the reference flag surface."""
+    from click.testing import CliRunner
+
+    from cutmix_seg_tpu.train import aug_mt, ict, mask_mt, vat_mt
+
+    runner = CliRunner()
+    for mod, extra in (
+        (mask_mt, "--mask_mode"),
+        (ict, "--ict_alpha"),
+        (vat_mt, "--vat_radius"),
+        (aug_mt, "--aug_offset_range"),
+    ):
+        res = runner.invoke(mod.experiment, ["--help"])
+        assert res.exit_code == 0
+        assert extra in res.output
+        for flag in ("--dataset", "--arch", "--cons_loss_fn", "--conf_thresh",
+                     "--teacher_alpha", "--split_seed", "--n_sup"):
+            assert flag in res.output, (mod.__name__, flag)
