@@ -59,5 +59,9 @@ def _register_builtin():
         deeplab3.resnet101_deeplabv3plus_imagenet
     )
 
+    from cutmix_seg_tpu.models import pspnet
+
+    register("resnet101_pspnet_imagenet")(pspnet.resnet101_pspnet_imagenet)
+
 
 _register_builtin()

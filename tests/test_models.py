@@ -187,3 +187,22 @@ def test_param_labels_deeplab2():
     assert got["backbone/bn1/scale"] == "frozen"
     assert got["backbone/layer1_0/bn1/scale"] == "frozen"
     assert got["backbone/layer1_0/conv1/kernel"] == "pretrained"
+
+
+def test_pspnet_shapes_and_adaptive_pool():
+    from cutmix_seg_tpu.models.pspnet import PSPNet, _adaptive_avg_pool
+
+    # adaptive pool parity with torch
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 11, 11, 3).astype(np.float32)
+    for bins in (1, 2, 3, 6):
+        ours = np.asarray(_adaptive_avg_pool(jnp.asarray(x), bins))
+        t = torch.nn.functional.adaptive_avg_pool2d(
+            torch.tensor(np.transpose(x, (0, 3, 1, 2))), bins).numpy()
+        np.testing.assert_allclose(ours, np.transpose(t, (0, 2, 3, 1)), atol=1e-6)
+
+    m = PSPNet(num_classes=4, layers=(1, 1, 1, 1))
+    xin = jnp.zeros((1, 33, 33, 3))
+    v = m.init(jax.random.PRNGKey(0), xin, train=False)
+    y = m.apply(v, xin, train=False)
+    assert y.shape == (1, 33, 33, 4)
