@@ -76,12 +76,23 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
                 loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
                 # reference runs the teacher in train() mode (BN stats update
                 # unless frozen; train_seg_semisup_mask_mt.py:268-275,354-356)
-                tea0, tea_stats = apply_model(
-                    model, tea_state.params, tea_stats, batch["ux0_tea"],
-                    train=True, freeze_bn=cfg.freeze_bn)
-                tea1, tea_stats = apply_model(
-                    model, tea_state.params, tea_stats, batch["ux1_tea"],
-                    train=True, freeze_bn=cfg.freeze_bn)
+                if cfg.freeze_bn:
+                    # frozen BN: one concatenated forward keeps the MXU busier
+                    # than two half-size launches and is numerically identical
+                    tea_both, tea_stats = apply_model(
+                        model, tea_state.params, tea_stats,
+                        jnp.concatenate([batch["ux0_tea"], batch["ux1_tea"]]),
+                        train=True, freeze_bn=True)
+                    tea0, tea1 = tea_both[:n], tea_both[n:]
+                else:
+                    # training BN updates stats per forward: keep the
+                    # reference's two sequential passes
+                    tea0, tea_stats = apply_model(
+                        model, tea_state.params, tea_stats, batch["ux0_tea"],
+                        train=True, freeze_bn=cfg.freeze_bn)
+                    tea1, tea_stats = apply_model(
+                        model, tea_state.params, tea_stats, batch["ux1_tea"],
+                        train=True, freeze_bn=cfg.freeze_bn)
                 logits_tea = tea0 * (1.0 - m) + tea1 * m
             elif cfg.mask_mode == "zero":
                 ux_stu = batch["ux_stu"]
@@ -100,21 +111,40 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
             loss_mask = loss_mask.astype(jnp.float32)
 
         # ---- student losses under grad ----
+        fuse_student = (
+            use_cons and cfg.freeze_bn
+            and batch["sup_x"].shape[1:] == (x_stu_cons.shape[1:] if use_cons else None)
+        )
+
         def loss_fn(params):
-            logits_sup, stats = apply_model(
-                model, params, state.student.batch_stats, batch["sup_x"],
-                train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_sup,
-            )
+            metrics = {}
+            if fuse_student:
+                # one fwd+bwd over [sup | cons] (frozen BN => identical math)
+                n_sup = batch["sup_x"].shape[0]
+                logits_all, stats = apply_model(
+                    model, params, state.student.batch_stats,
+                    jnp.concatenate([batch["sup_x"], x_stu_cons]),
+                    train=True, freeze_bn=True, rng=k_drop_sup,
+                )
+                logits_sup = logits_all[:n_sup]
+                logits_stu = logits_all[n_sup:]
+            else:
+                logits_sup, stats = apply_model(
+                    model, params, state.student.batch_stats, batch["sup_x"],
+                    train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_sup,
+                )
+                logits_stu = None
             sup_loss = L.cross_entropy_ignore(
                 logits_sup, batch["sup_y"], cfg.ignore_value
             )
-            metrics = {"sup_loss": sup_loss}
+            metrics["sup_loss"] = sup_loss
             total = sup_loss
             if use_cons:
-                logits_stu, stats = apply_model(
-                    model, params, stats, x_stu_cons,
-                    train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns,
-                )
+                if logits_stu is None:
+                    logits_stu, stats = apply_model(
+                        model, params, stats, x_stu_cons,
+                        train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns,
+                    )
                 per_px = L.consistency_loss_per_pixel(
                     cfg.cons_loss_fn, logits_stu, logits_tea
                 )
