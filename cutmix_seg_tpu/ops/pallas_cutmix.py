@@ -8,11 +8,13 @@ the mask block from broadcasted iotas compared against scalar-prefetched box
 rectangles (XOR across boxes, reproducing the reference's repeated inversion;
 reference mask_gen.py:110-116) and writes ``x0*(1-m) + x1*m``.
 
-Rectangles must be pre-resolved to NumPy-slice semantics (non-negative,
-clamped) — use ``resolve_rects`` or masks/box_mask.sample_box_rects which
-already returns in-bounds boxes for within_bounds=True.
+TPU layout note: channels-last blocks would pad the 3-channel lane dimension
+to 128 (35x VMEM waste), so images enter the kernel viewed as (N, H, W*C) —
+a free reshape — and the in-kernel pixel index is ``lane // C``.
 
-Falls back to interpret mode off-TPU so tests run on CPU.
+Rectangles must be pre-resolved to NumPy-slice semantics (non-negative,
+clamped) — ``resolve_rects`` handles that. Falls back to interpret mode
+off-TPU so tests run on CPU.
 """
 
 from __future__ import annotations
@@ -21,7 +23,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,14 +43,18 @@ def resolve_rects(rects: jnp.ndarray, hw) -> jnp.ndarray:
 
 
 def _blend_kernel(rects_ref, x0_ref, x1_ref, out_ref, mask_ref, *, n_boxes,
-                  invert, tile_h):
+                  invert, tile_h, channels):
     n = pl.program_id(0)
     t = pl.program_id(1)
-    th, w = mask_ref.shape[1], mask_ref.shape[2]
-    ys = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + t * tile_h
-    xs = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    th, wc = x0_ref.shape[1], x0_ref.shape[2]
+    w = mask_ref.shape[2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (th, wc), 0) + t * tile_h
+    xs = jax.lax.broadcasted_iota(jnp.int32, (th, wc), 1) // channels
+    ys_m = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + t * tile_h
+    xs_m = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
 
-    toggles = jnp.zeros((th, w), jnp.int32)
+    toggles = jnp.zeros((th, wc), jnp.int32)
+    toggles_m = jnp.zeros((th, w), jnp.int32)
     for b in range(n_boxes):
         y0 = rects_ref[n, b, 0]
         x0 = rects_ref[n, b, 1]
@@ -57,12 +62,12 @@ def _blend_kernel(rects_ref, x0_ref, x1_ref, out_ref, mask_ref, *, n_boxes,
         x1 = rects_ref[n, b, 3]
         inside = (ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1)
         toggles = toggles ^ inside.astype(jnp.int32)
+        inside_m = (ys_m >= y0) & (ys_m < y1) & (xs_m >= x0) & (xs_m < x1)
+        toggles_m = toggles_m ^ inside_m.astype(jnp.int32)
     base = 0 if invert else 1
     m = (toggles ^ base).astype(x0_ref.dtype)
-
-    mask_ref[0, :, :, 0] = m
-    mb = m[:, :, None]
-    out_ref[0] = x0_ref[0] * (1.0 - mb) + x1_ref[0] * mb
+    mask_ref[0] = (toggles_m ^ base).astype(x0_ref.dtype)
+    out_ref[0] = x0_ref[0] * (1.0 - m) + x1_ref[0] * m
 
 
 @functools.partial(jax.jit, static_argnames=("invert", "interpret"))
@@ -83,33 +88,35 @@ def cutmix_blend(x0: jnp.ndarray, x1: jnp.ndarray, rects: jnp.ndarray,
         interpret = jax.default_backend() not in ("tpu", "axon")
 
     tile_h = h
-    # keep VMEM blocks comfortably small for large crops
-    for cand in (128, 64, 32, 16, 8):
+    for cand in (256, 128, 64, 32, 16, 8):
         if h % cand == 0:
             tile_h = cand
             break
+
+    x0v = x0.reshape(n, h, w * c)
+    x1v = x1.reshape(n, h, w * c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, h // tile_h),
         in_specs=[
-            pl.BlockSpec((1, tile_h, w, c), lambda i, t, *_: (i, t, 0, 0)),
-            pl.BlockSpec((1, tile_h, w, c), lambda i, t, *_: (i, t, 0, 0)),
+            pl.BlockSpec((1, tile_h, w * c), lambda i, t, *_: (i, t, 0)),
+            pl.BlockSpec((1, tile_h, w * c), lambda i, t, *_: (i, t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, w, c), lambda i, t, *_: (i, t, 0, 0)),
-            pl.BlockSpec((1, tile_h, w, 1), lambda i, t, *_: (i, t, 0, 0)),
+            pl.BlockSpec((1, tile_h, w * c), lambda i, t, *_: (i, t, 0)),
+            pl.BlockSpec((1, tile_h, w), lambda i, t, *_: (i, t, 0)),
         ],
     )
     kernel = functools.partial(_blend_kernel, n_boxes=n_boxes, invert=invert,
-                               tile_h=tile_h)
+                               tile_h=tile_h, channels=c)
     x_mix, mask = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, h, w, c), x0.dtype),
-            jax.ShapeDtypeStruct((n, h, w, 1), x0.dtype),
+            jax.ShapeDtypeStruct((n, h, w * c), x0.dtype),
+            jax.ShapeDtypeStruct((n, h, w), x0.dtype),
         ],
         interpret=interpret,
-    )(ri, x0, x1)
-    return x_mix, mask
+    )(ri, x0v, x1v)
+    return x_mix.reshape(n, h, w, c), mask[..., None]

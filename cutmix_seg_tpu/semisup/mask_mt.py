@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from cutmix_seg_tpu.core.train_state import TrainState
-from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig, sample_masks
+from cutmix_seg_tpu.masks.box_mask import (
+    BoxMaskConfig,
+    rasterise_masks,
+    sample_box_rects,
+    sample_masks,
+)
+from cutmix_seg_tpu.ops.pallas_cutmix import cutmix_blend
 from cutmix_seg_tpu.semisup import losses as L
 from cutmix_seg_tpu.semisup.stepcore import (
     ConsistencyCommon,
@@ -42,6 +48,9 @@ __all__ = ["MaskConsistencyConfig", "make_mask_mt_step", "apply_model"]
 class MaskConsistencyConfig(ConsistencyCommon):
     mask_mode: str = "mix"  # 'mix' (CutMix) | 'zero' (Cutout)
     box: BoxMaskConfig = BoxMaskConfig((0.5, 0.5))
+    # Pallas fused rasterise+blend kernel: 'auto' (on TPU backends),
+    # 'on', or 'off' (jnp rasterise + XLA-fused blend)
+    pallas_cutmix: str = "auto"
 
 
 def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
@@ -71,8 +80,17 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
             if cfg.mask_mode == "mix":
                 ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
                 n, hw = ux_stu0.shape[0], ux_stu0.shape[1:3]
-                m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu0.dtype)
-                x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
+                use_pallas = cfg.pallas_cutmix == "on" or (
+                    cfg.pallas_cutmix == "auto"
+                    and jax.default_backend() in ("tpu", "axon")
+                )
+                if use_pallas:
+                    rects = sample_box_rects(cfg.box, k_mask, n, hw)
+                    x_stu_cons, m = cutmix_blend(
+                        ux_stu0, ux_stu1, rects, invert=cfg.box.invert)
+                else:
+                    m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu0.dtype)
+                    x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
                 loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
                 # reference runs the teacher in train() mode (BN stats update
                 # unless frozen; train_seg_semisup_mask_mt.py:268-275,354-356)
