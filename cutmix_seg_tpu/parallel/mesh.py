@@ -23,6 +23,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host (DCN) initialisation: when the standard coordinator env vars
+    are present (JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID]), call jax.distributed.initialize so jax.devices() spans
+    the pod and the data mesh extends over DCN. Single-host runs are
+    unaffected. Returns True when initialised."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+        return False
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"], **kwargs
+    )
+    return True
+
+
 def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     """1-D data-parallel mesh (with a trailing size-1 'model' axis)."""
     devices = devices if devices is not None else jax.devices()

@@ -72,6 +72,9 @@ def common_options(with_geom_pair_opts: bool = False):
         click.option("--resume", is_flag=True, default=False),
         click.option("--nan_check_interval", type=int, default=100),
         click.option("--seed", type=int, default=0),
+        click.option("--profile_dir", type=click.Path(), default=None,
+                     help="capture a jax.profiler trace of a few first-epoch "
+                          "steps into this directory"),
     ]
     if with_geom_pair_opts:
         opts += [

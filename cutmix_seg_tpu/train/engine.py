@@ -32,7 +32,12 @@ from cutmix_seg_tpu.data import datasets
 from cutmix_seg_tpu.data.loader import HostBatchBuilder, train_stream
 from cutmix_seg_tpu.ops.colour import ColourJitterConfig
 from cutmix_seg_tpu.ops.iou import EvaluatorIoU
-from cutmix_seg_tpu.parallel.mesh import jit_sharded_step, make_mesh, shard_batch
+from cutmix_seg_tpu.parallel.mesh import (
+    jit_sharded_step,
+    make_mesh,
+    maybe_initialize_distributed,
+    shard_batch,
+)
 from cutmix_seg_tpu.semisup.stepcore import ConsistencyCommon
 from cutmix_seg_tpu.train import common
 from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
@@ -69,6 +74,10 @@ class TrainEngine:
     # ---- construction ----
     def setup(self):
         p = self.p
+        # must run before anything touches devices so the backend spans the pod
+        if maybe_initialize_distributed():
+            print(f"Multi-host: process {jax.process_index()} of "
+                  f"{jax.process_count()}, {jax.device_count()} devices")
         self.crop_hw = common.parse_crop_size(p["crop_size"])
         if self.crop_hw is None:
             raise ValueError("the TPU pipeline requires a crop_size (static shapes)")
@@ -205,7 +214,19 @@ class TrainEngine:
             ramp = jnp.float32(ramp_val)
 
             metric_accum = []
+            profile_dir = p.get("profile_dir") if epoch_i == self.start_epoch else None
             for it in range(p["iters_per_epoch"]):
+                if profile_dir and it == 2:
+                    # trace a few steady-state steps of the first epoch
+                    from cutmix_seg_tpu.utils.profiling import trace
+
+                    with trace(profile_dir):
+                        for _ in range(3):
+                            batch = self.make_step_batch()
+                            self.state, metrics = self.step(self.state, batch, ramp)
+                            metric_accum.append(metrics)
+                    profile_dir = None
+                    continue
                 batch = self.make_step_batch()
                 self.state, metrics = self.step(self.state, batch, ramp)
                 metric_accum.append(metrics)
