@@ -122,7 +122,10 @@ class PascalVOCDataSource(DataSource):
     canvas_hw = (512, 512)  # VOC images are <= 500x500
 
     def __init__(self, n_val, val_rng, trainval_perm, augmented=False,
-                 root: Optional[str] = None):
+                 fg_class_subset=None, root: Optional[str] = None):
+        """``fg_class_subset``: restrict to images containing the given
+        foreground classes and remap labels to [bg, subset...] (reference:
+        pascal_voc_dataset.py:107-138)."""
         root = root or settings.get_data_path("pascal_voc")
         if augmented:
             train_names = _load_names(
@@ -150,16 +153,39 @@ class PascalVOCDataSource(DataSource):
         self.train_ndx, self.val_ndx, self.test_ndx = _holdout_split(
             train_ndx, val_ndx, n_val, val_rng, trainval_perm)
         self.num_classes = 21
+        self.class_map = None
+
+        if fg_class_subset is not None:
+            fg = np.asarray(fg_class_subset)
+            keep = []
+            for i in range(len(self.sample_names)):
+                present = set(np.unique(self._raw_labels(i)))
+                if present & set(fg.tolist()):
+                    keep.append(i)
+            keep = set(keep)
+            self.train_ndx = np.array([i for i in self.train_ndx if i in keep])
+            self.val_ndx = np.array([i for i in self.val_ndx if i in keep])
+            self.num_classes = len(fg) + 1
+            class_map = np.zeros((256,), dtype=np.uint8)
+            class_map[fg] = np.arange(len(fg)) + 1
+            class_map[255] = 255
+            self.class_map = class_map
 
     def get_image(self, i):
         img = Image.open(self.x_paths[i])
         img.load()
         return _to_rgb_array(img)
 
-    def get_labels(self, i):
+    def _raw_labels(self, i):
         img = Image.open(self.y_paths[i])
         img.load()
-        return np.array(img).astype(np.int32)
+        return np.array(img)
+
+    def get_labels(self, i):
+        y = self._raw_labels(i)
+        if self.class_map is not None:
+            y = self.class_map[y]
+        return y.astype(np.int32)
 
 
 class CityscapesDataSource(ZipSource):

@@ -37,6 +37,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def gaussian_kernels(sigma: np.ndarray, max_sigma=None, truncate: float = 4.0):
+    """Batch of 1-D Gaussian kernels, (N, kernel_size), normalised to sum 1
+    (reference helper: mask_gen.py:26-43; unused by the trainers but part of
+    the mask-generation toolkit's surface)."""
+    sigma = np.asarray(sigma, dtype=np.float64)
+    if max_sigma is None:
+        max_sigma = sigma.max()
+    radius = int(truncate * max_sigma + 0.5)
+    x = np.arange(-radius, radius + 1)[None, :]
+    phi = np.exp(-0.5 / (sigma[:, None] ** 2) * x ** 2)
+    return phi / phi.sum(axis=1, keepdims=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class BoxMaskConfig:
     prop_range: Tuple[float, float]
