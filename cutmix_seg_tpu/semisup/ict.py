@@ -56,12 +56,21 @@ def make_ict_step(model, tx, cfg: ICTConfig):
             x_mixed = ux0 * (1.0 - lam) + ux1 * lam
             um_mixed = batch["um0"] * (1.0 - lam) + batch["um1"] * lam
 
-            tea0, tea_stats = apply_model(
-                model, tea_state.params, tea_stats, batch["ux0_tea"],
-                train=True, freeze_bn=cfg.freeze_bn)
-            tea1, tea_stats = apply_model(
-                model, tea_state.params, tea_stats, batch["ux1_tea"],
-                train=True, freeze_bn=cfg.freeze_bn)
+            if cfg.freeze_bn:
+                # frozen BN: one concatenated teacher forward (identical math,
+                # better MXU utilisation)
+                tea_both, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats,
+                    jnp.concatenate([batch["ux0_tea"], batch["ux1_tea"]]),
+                    train=True, freeze_bn=True)
+                tea0, tea1 = tea_both[:n], tea_both[n:]
+            else:
+                tea0, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats, batch["ux0_tea"],
+                    train=True, freeze_bn=cfg.freeze_bn)
+                tea1, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats, batch["ux1_tea"],
+                    train=True, freeze_bn=cfg.freeze_bn)
             tea0 = jax.lax.stop_gradient(tea0.astype(jnp.float32))
             tea1 = jax.lax.stop_gradient(tea1.astype(jnp.float32))
             p0, p1 = jax.nn.softmax(tea0, axis=-1), jax.nn.softmax(tea1, axis=-1)
