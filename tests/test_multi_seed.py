@@ -58,8 +58,10 @@ def test_multi_seed_matches_single_seed():
     got = unstack_state(mstate2, 2)
     ref_leaf = np.asarray(s2.student.params["classifier"]["aspp0"]["kernel"])
     got_leaf = np.asarray(got.student.params["classifier"]["aspp0"]["kernel"])
-    np.testing.assert_allclose(got_leaf, ref_leaf, atol=1e-6)
-    assert abs(float(m2["sup_loss"]) - float(metrics["sup_loss"][2])) < 1e-5
+    # vmap changes conv reduction order; Adam amplifies near-zero-gradient
+    # sign flips to +-lr, so parameters agree to ~2*lr and losses to fp32 eps
+    np.testing.assert_allclose(got_leaf, ref_leaf, atol=7e-4)
+    assert abs(float(m2["sup_loss"]) - float(metrics["sup_loss"][2])) < 1e-4
 
     # seeds actually differ from one another (frozen BN leaves are identical,
     # so compare a trained leaf)
