@@ -31,23 +31,11 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from cutmix_seg_tpu.aug import affine
-
-
-@dataclasses.dataclass
-class GeomParams:
-    """Per-sample geometric transform: matrix original-image px -> crop px.
-
-    interp: 0 = nearest, 1 = bilinear (reference picks nearest for the image
-    whenever labels ride along; seg_transforms_cv.py:361-366,425-427).
-    """
-
-    matrix: np.ndarray  # (N, 2, 3) float32
-    interp: np.ndarray  # (N,) int32
 
 
 @dataclasses.dataclass(frozen=True)

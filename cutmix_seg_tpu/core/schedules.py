@@ -9,7 +9,7 @@ step so they live inside the jitted update (no host-side scheduler object).
 from __future__ import annotations
 
 import ast
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax.numpy as jnp
 import optax

@@ -17,10 +17,13 @@ from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.mask_mt import apply_model
 
 
-def make_eval_cm_fn(model, num_classes: int, ignore_value: int = 255):
+def make_eval_cm_fn(model, num_classes: int, ignore_value: int = 255,
+                    jit: bool = True):
     """Returns eval_fn(model_state, batch) -> (C, C) int32 confusion matrix.
 
     batch: {'x': (N,H,W,3) normalised images, 'y': (N,H,W) int labels}.
+    jit=True compiles the whole forward+confusion program (pass False when
+    wrapping with a sharded jit yourself, e.g. parallel.mesh.jit_sharded_eval).
     """
 
     def eval_fn(model_state, batch):
@@ -31,13 +34,21 @@ def make_eval_cm_fn(model, num_classes: int, ignore_value: int = 255):
         pred = jnp.argmax(logits, axis=-1)
         return confusion_matrix(pred, batch["y"], num_classes, ignore_value)
 
-    return eval_fn
+    return jax.jit(eval_fn) if jit else eval_fn
+
+
+_predict_cache = {}
 
 
 def predict_fn(model, model_state, x):
-    """Plain argmax prediction for save_preds paths."""
-    logits, _ = apply_model(
-        model, model_state.params, model_state.batch_stats, x,
-        train=False, freeze_bn=True,
-    )
-    return jnp.argmax(logits, axis=-1)
+    """Jitted argmax prediction (compiled once per model object)."""
+    f = _predict_cache.get(id(model))
+    if f is None:
+        def raw(params, batch_stats, x):
+            logits, _ = apply_model(model, params, batch_stats, x,
+                                    train=False, freeze_bn=True)
+            return jnp.argmax(logits, axis=-1)
+
+        f = jax.jit(raw)
+        _predict_cache[id(model)] = f
+    return f(model_state.params, model_state.batch_stats, x)

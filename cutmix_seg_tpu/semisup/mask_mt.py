@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from cutmix_seg_tpu.core.train_state import TrainState
 from cutmix_seg_tpu.masks.box_mask import (
     BoxMaskConfig,
-    rasterise_masks,
     sample_box_rects,
     sample_masks,
 )
@@ -131,7 +130,7 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
         # ---- student losses under grad ----
         fuse_student = (
             use_cons and cfg.freeze_bn
-            and batch["sup_x"].shape[1:] == (x_stu_cons.shape[1:] if use_cons else None)
+            and batch["sup_x"].shape[1:] == x_stu_cons.shape[1:]
         )
 
         def loss_fn(params):

@@ -11,7 +11,7 @@ downscaling); drawing uses PIL.
 from __future__ import annotations
 
 import pickle
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image, ImageDraw

@@ -7,7 +7,7 @@ reference's per-epoch log line format
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn, predict_fn
 from cutmix_seg_tpu.models import registry
 from cutmix_seg_tpu.ops.colour import ColourJitterConfig
 from cutmix_seg_tpu.ops.iou import EvaluatorIoU
-from cutmix_seg_tpu.parallel.mesh import jit_sharded_eval, make_mesh, shard_batch
 
 
 def parse_crop_size(crop_size: str):
