@@ -20,7 +20,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
+
+
+def note(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 REFERENCE_IMG_PER_SEC = 20.0  # estimated reference throughput (see docstring)
 
@@ -28,7 +33,7 @@ BATCH = 10
 CROP = 321
 NUM_CLASSES = 21
 WARMUP = 3
-ITERS = 50
+ITERS = 30
 
 
 def main():
@@ -55,6 +60,7 @@ def main():
         learning_rate=3e-5,
         lr_schedule=make_lr_schedule("none", 3e-5, total_iters),
     )
+    note("bench: creating train state...")
     state, tx = create_train_state(
         # init at a small spatial size: parameter shapes are spatial-size
         # independent and the full-size init program is slow to compile
@@ -70,6 +76,10 @@ def main():
         freeze_bn=True,
         mean_teacher=True,
         teacher_alpha=0.99,
+        # jnp rasterise+blend: measured equal to the Pallas kernel inside the
+        # full step (convs dominate) and ~70s cheaper to compile through the
+        # remote-compile tunnel
+        pallas_cutmix="off",
     )
 
     n_chips = len(jax.devices())
@@ -91,11 +101,15 @@ def main():
     batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
     ramp = jnp.float32(1.0)
 
+    note("bench: warmup/compile...")
+    t_w = time.perf_counter()
     for _ in range(WARMUP):
         state, metrics = step(state, batch, ramp)
-    # force a host round-trip: on the experimental axon platform
-    # block_until_ready does not reliably synchronise
-    assert np.isfinite(float(metrics["sup_loss"]))
+        # force a host round-trip: on the experimental axon platform
+        # block_until_ready does not reliably synchronise; syncing each warmup
+        # step also absorbs the layout recompile before timing starts
+        assert np.isfinite(float(metrics["sup_loss"]))
+    note(f"bench: warmup done in {time.perf_counter() - t_w:.1f}s; timing...")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
