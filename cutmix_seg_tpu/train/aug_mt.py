@@ -37,7 +37,6 @@ def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
         name="aug_mt",
         make_step=lambda model, tx: make_aug_cons_step(model, tx, cfg),
         unsup_streams=1,
-        draws_per_iter=1,
         pair_geom=True,
         compose=compose_aug_pair,
     )

@@ -50,7 +50,6 @@ class AlgorithmSpec:
     make_step(model, tx) -> fused step fn.
     unsup_streams: number of independent unsupervised streams (mask_mt mix: 2;
         others: 1). ICT draws twice from its single stream.
-    draws_per_iter: host batches taken from stream 0 per iteration.
     pair_geom: sample two correlated geometric transforms per image (aug_mt).
     compose: fn(engine, streams, key) -> unsup part of the step batch.
     """
@@ -58,7 +57,6 @@ class AlgorithmSpec:
     name: str
     make_step: Callable
     unsup_streams: int
-    draws_per_iter: int
     pair_geom: bool
     compose: Callable
 

@@ -31,7 +31,6 @@ def train_seg_semisup_ict(ctx: job.RunContext, **p):
         name="ict",
         make_step=lambda model, tx: make_ict_step(model, tx, cfg),
         unsup_streams=1,
-        draws_per_iter=2,
         pair_geom=False,
         compose=compose_ict,
     )

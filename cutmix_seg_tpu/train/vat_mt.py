@@ -33,7 +33,6 @@ def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
         name="vat_mt",
         make_step=lambda model, tx: make_vat_step(model, tx, cfg),
         unsup_streams=1,
-        draws_per_iter=1,
         pair_geom=False,
         compose=compose_vat,
     )
