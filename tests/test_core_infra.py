@@ -1,0 +1,86 @@
+"""Unit tests for core infrastructure: checkpoints, job runner, loader
+shuffling, colour-jitter identity behaviour, pallas multi-box/bf16."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cutmix_seg_tpu.core import checkpoint as ckpt
+from cutmix_seg_tpu.core import job
+
+
+def test_checkpoint_roundtrip_and_prune(tmp_path):
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.int32(7)}
+    d = str(tmp_path / "ckpts")
+    for s in (1, 2, 3):
+        ckpt.save_checkpoint(d, state, step=s, keep=2)
+    files = sorted(os.listdir(d))
+    assert files == ["ckpt_000000002.msgpack", "ckpt_000000003.msgpack"]
+    latest = ckpt.latest_checkpoint(d)
+    assert latest.endswith("ckpt_000000003.msgpack")
+
+    template = {"params": {"w": jnp.zeros((2, 3))}, "step": jnp.int32(0)}
+    restored = ckpt.restore_checkpoint(latest, template)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(restored["step"]) == 7
+
+
+def test_export_params(tmp_path):
+    path = str(tmp_path / "model.msgpack")
+    ckpt.export_params(path, {"k": jnp.ones(4)})
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_job_runner_log_and_metrics(tmp_path):
+    def fn(ctx, x):
+        print("hello from job")
+        ctx.log_metrics({"epoch": 1, "val": x})
+        return x * 2
+
+    out = job.submit("jobname", "desc1", fn, {"x": 21},
+                     results_root=str(tmp_path))
+    assert out == 42
+    run_dir = tmp_path / "jobname" / "desc1"
+    assert "hello from job" in (run_dir / "log_desc1.txt").read_text()
+    import json
+
+    rec = json.loads((run_dir / "metrics_desc1.jsonl").read_text().splitlines()[0])
+    assert rec["val"] == 21 and "time" in rec
+    # duplicate skip
+    assert job.submit("jobname", "desc1", fn, {"x": 1},
+                      results_root=str(tmp_path)) is None
+
+
+def test_colour_jitter_identity_when_zero_ranges():
+    from cutmix_seg_tpu.ops.colour import ColourJitterConfig, colour_jitter
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.uniform(0.1, 0.9, size=(4, 8, 8, 3)).astype(np.float32))
+    cfg = ColourJitterConfig(brightness=0.0, contrast=0.0, saturation=0.0,
+                             hue=0.0, apply_prob=1.0, greyscale_prob=0.0)
+    out = np.asarray(colour_jitter(img, jax.random.PRNGKey(0), cfg))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+
+def test_pallas_multibox_bf16():
+    from cutmix_seg_tpu.masks.box_mask import (
+        BoxMaskConfig, rasterise_masks, sample_box_rects)
+    from cutmix_seg_tpu.ops.pallas_cutmix import cutmix_blend
+
+    rng = np.random.RandomState(1)
+    n, h, w, c = 3, 32, 32, 3
+    x0 = jnp.asarray(rng.randn(n, h, w, c)).astype(jnp.bfloat16)
+    x1 = jnp.asarray(rng.randn(n, h, w, c)).astype(jnp.bfloat16)
+    cfg = BoxMaskConfig((0.2, 0.6), n_boxes=3)
+    rects = sample_box_rects(cfg, jax.random.PRNGKey(2), n, (h, w))
+    mix, m = cutmix_blend(x0, x1, rects, invert=True, interpret=True)
+    m_ref = rasterise_masks(rects, (h, w), invert=True, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(m, np.float32), np.asarray(m_ref, np.float32))
+    mix_ref = x0 * (1 - m_ref) + x1 * m_ref
+    np.testing.assert_allclose(np.asarray(mix, np.float32),
+                               np.asarray(mix_ref, np.float32), atol=1e-2)
