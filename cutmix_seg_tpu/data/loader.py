@@ -77,6 +77,33 @@ class DecodeCache:
         return val
 
 
+def ship_window_hw(geom: Optional[GeomConfig], canvas_hw) -> Optional[Tuple[int, int]]:
+    """Host->device transfer window for constant-border geometry modes.
+
+    For plain crops the device only ever samples a crop-sized source region;
+    for the Hung crop-scale scheme at most crop/0.5 per dim. Shipping just
+    that window (sliced from the zero-padded canvas, matrix re-anchored)
+    instead of the whole canvas cuts H2D traffic up to 4x (e.g. Cityscapes:
+    512x1024 canvas vs 256x512 crop) with bit-identical results — every
+    sampling tap lies inside the window and out-of-extent taps are constant-0
+    either way. Reflect-border mode (crop_rotate_scale) must see the full
+    image extent for edge reflection, so it ships the full canvas (None).
+    """
+    if geom is None:
+        return None
+    ch, cw = geom.crop_size
+    if geom.mode == "crop":
+        need = (ch + 2, cw + 2)
+    elif geom.mode == "crop_scale_hung":
+        # scale factor >= 0.5 => source region <= 2x crop
+        need = (2 * ch + 2, 2 * cw + 2)
+    else:
+        return None
+    if need[0] >= canvas_hw[0] and need[1] >= canvas_hw[1]:
+        return None
+    return (min(need[0], canvas_hw[0]), min(need[1], canvas_hw[1]))
+
+
 class HostBatchBuilder:
     """Builds numpy canvas batches + per-sample geometry for the device stage."""
 
@@ -89,14 +116,38 @@ class HostBatchBuilder:
         canvas_hw: Optional[Tuple[int, int]] = None,
         cache_items: int = 1024,
         n_threads: int = 8,
+        ship_window: bool = True,
     ):
         self.source = source
         self.geom = geom
         self.with_labels = with_labels
         self.pair_geom = pair_geom
         self.canvas_hw = canvas_hw or source.canvas_hw
+        self.window_hw = (
+            ship_window_hw(geom, self.canvas_hw) if ship_window else None
+        )
         self.cache = DecodeCache(cache_items)
         self.pool = ThreadPoolExecutor(max_workers=n_threads)
+
+    def _window_origin(self, ms, img_hw):
+        """Top-left of the transfer window: cover the preimage of the crop
+        under every matrix in ms, clamped into the canvas."""
+        from cutmix_seg_tpu.aug import affine as A
+
+        ch, cw = self.geom.crop_size
+        corners = np.array(
+            [[0.0, 0.0, 1.0], [cw - 1.0, 0.0, 1.0],
+             [0.0, ch - 1.0, 1.0], [cw - 1.0, ch - 1.0, 1.0]])
+        mins = np.array([np.inf, np.inf])
+        for m in ms:
+            inv = A.invert(m[None].astype(np.float64))[0]
+            src = corners @ inv.T  # (4, 2) x,y
+            mins = np.minimum(mins, src.min(axis=0)[::-1])  # -> (y, x)
+        origin = np.floor(mins).astype(int) - 1  # bilinear tap margin
+        wh, ww = self.window_hw
+        origin[0] = np.clip(origin[0], 0, max(self.canvas_hw[0] - wh, 0))
+        origin[1] = np.clip(origin[1], 0, max(self.canvas_hw[1] - ww, 0))
+        return origin
 
     def _decode(self, i: int):
         def load():
@@ -107,48 +158,76 @@ class HostBatchBuilder:
         return self.cache.get(int(i), load)
 
     def build(self, indices: np.ndarray, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
-        b = len(indices)
-        ch, cw = self.canvas_hw
-        canvas = np.zeros((b, ch, cw, 3), np.uint8)
-        labels = np.full((b, ch, cw), 255, np.int32) if self.with_labels else None
-        sizes = np.zeros((b, 2), np.int32)
+        from cutmix_seg_tpu.aug import affine as A
 
+        b = len(indices)
         decoded = list(self.pool.map(self._decode, indices))
-        for k, (img, lab) in enumerate(decoded):
-            h, w = img.shape[:2]
-            if h > ch or w > cw:
+        img_sizes = np.array([d[0].shape[:2] for d in decoded], np.int32)
+        for k, (h, w) in enumerate(img_sizes):
+            if h > self.canvas_hw[0] or w > self.canvas_hw[1]:
                 raise ValueError(
                     f"image {indices[k]} ({h}x{w}) exceeds canvas {self.canvas_hw}"
                 )
-            canvas[k, :h, :w] = img
-            if labels is not None:
-                labels[k, :h, :w] = lab
-            sizes[k] = (h, w)
+
+        # geometry first: the transfer window depends on the sampled matrices
+        geoms = None
+        if self.geom is not None:
+            geoms = []
+            for k in range(b):
+                if self.pair_geom:
+                    geoms.append(sample_geom_pair(
+                        self.geom, tuple(img_sizes[k]), rng, self.with_labels))
+                else:
+                    geoms.append((sample_geom_single(
+                        self.geom, tuple(img_sizes[k]), rng, self.with_labels),))
+
+        window = self.window_hw if geoms is not None else None
+        ch, cw = window if window is not None else self.canvas_hw
+        canvas = np.zeros((b, ch, cw, 3), np.uint8)
+        labels = np.full((b, ch, cw), 255, np.int32) if self.with_labels else None
+        sizes = np.zeros((b, 2), np.int32)
+        out_ms = [np.zeros((b, 2, 3), np.float32) for _ in range(
+            2 if self.pair_geom else 1)] if geoms is not None else []
+        out_interp = [np.zeros((b,), np.int32) for _ in range(
+            2 if self.pair_geom else 1)] if geoms is not None else []
+
+        for k, (img, lab) in enumerate(decoded):
+            h, w = img_sizes[k]
+            if window is not None:
+                origin = self._window_origin(
+                    [g[0] for g in geoms[k]], (h, w))
+                oy, ox = int(origin[0]), int(origin[1])
+                eh = int(np.clip(h - oy, 0, ch))
+                ew = int(np.clip(w - ox, 0, cw))
+                canvas[k, :eh, :ew] = img[oy:oy + eh, ox:ox + ew]
+                if labels is not None and eh and ew:
+                    labels[k, :eh, :ew] = lab[oy:oy + eh, ox:ox + ew]
+                sizes[k] = (eh, ew)
+                shift = A.translation(
+                    np.array([[ox, oy]], dtype=np.float64))
+                for gi, (m, interp) in enumerate(geoms[k]):
+                    out_ms[gi][k] = A.compose(
+                        m[None].astype(np.float64), shift)[0]
+                    out_interp[gi][k] = interp
+            else:
+                canvas[k, :h, :w] = img
+                if labels is not None:
+                    labels[k, :h, :w] = lab
+                sizes[k] = (h, w)
+                if geoms is not None:
+                    for gi, (m, interp) in enumerate(geoms[k]):
+                        out_ms[gi][k] = m
+                        out_interp[gi][k] = interp
 
         out = {"canvas": canvas, "sizes": sizes}
         if labels is not None:
             out["labels"] = labels
-
-        if self.geom is not None:
+        if geoms is not None:
             if self.pair_geom:
-                m0 = np.zeros((b, 2, 3), np.float32)
-                m1 = np.zeros((b, 2, 3), np.float32)
-                i0 = np.zeros((b,), np.int32)
-                i1 = np.zeros((b,), np.int32)
-                for k in range(b):
-                    (a, ia), (c, ic) = sample_geom_pair(
-                        self.geom, tuple(sizes[k]), rng, self.with_labels
-                    )
-                    m0[k], m1[k], i0[k], i1[k] = a, c, ia, ic
-                out.update({"m0": m0, "m1": m1, "interp0": i0, "interp1": i1})
+                out.update({"m0": out_ms[0], "m1": out_ms[1],
+                            "interp0": out_interp[0], "interp1": out_interp[1]})
             else:
-                m = np.zeros((b, 2, 3), np.float32)
-                interp = np.zeros((b,), np.int32)
-                for k in range(b):
-                    m[k], interp[k] = sample_geom_single(
-                        self.geom, tuple(sizes[k]), rng, self.with_labels
-                    )
-                out.update({"m": m, "interp": interp})
+                out.update({"m": out_ms[0], "interp": out_interp[0]})
         return out
 
 

@@ -114,7 +114,8 @@ class TrainEngine:
             return False
         self.state, self.tx = create_train_state(
             self.model, opt_cfg, jax.random.PRNGKey(p.get("seed", 0)),
-            input_hw=(65, 65), mean_teacher=self.mean_teacher)
+            input_hw=(65, 65), mean_teacher=self.mean_teacher,
+            pretrained=not p.get("no_pretrained", False))
         print("Built network")
 
         self.start_epoch = 0

@@ -149,7 +149,8 @@ def test_host_batch_builder_and_stream(cityscapes_zip):
         n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
         zip_path=cityscapes_zip)
     geom = GeomConfig(crop_size=(24, 24), mode="crop", hflip=True)
-    builder = HostBatchBuilder(ds, geom, with_labels=True, canvas_hw=(32, 64))
+    builder = HostBatchBuilder(ds, geom, with_labels=True, canvas_hw=(32, 64),
+                               ship_window=False)
     batch = builder.build(ds.train_ndx[:4], np.random.RandomState(0))
     assert batch["canvas"].shape == (4, 32, 64, 3)
     assert batch["labels"].shape == (4, 32, 64)
@@ -157,6 +158,11 @@ def test_host_batch_builder_and_stream(cityscapes_zip):
     assert batch["m"].shape == (4, 2, 3)
     # canvas content matches the decoded image
     np.testing.assert_array_equal(batch["canvas"][0], ds.get_image(int(ds.train_ndx[0])))
+
+    # default path ships only the crop-sized transfer window
+    builder_w = HostBatchBuilder(ds, geom, with_labels=True, canvas_hw=(32, 64))
+    batch_w = builder_w.build(ds.train_ndx[:4], np.random.RandomState(0))
+    assert batch_w["canvas"].shape == (4, 26, 26, 3)
 
     stream = train_stream(builder, ds.train_ndx, batch_size=3, seed=7)
     b1 = next(stream)
@@ -177,3 +183,53 @@ def test_eval_batches_padding(cityscapes_zip):
     # canvas rounded to block multiples
     assert batches[0]["canvas"].shape[1] % 32 == 0
     assert batches[0]["canvas"].shape[2] % 32 == 0
+
+
+def test_ship_window_parity(cityscapes_zip):
+    """Slicing the host->device transfer window must not change the augmented
+    output (constant-border modes): windowed and full-canvas paths bit-agree."""
+    import jax.numpy as jnp
+
+    from cutmix_seg_tpu.aug.device import augment_batch
+    from cutmix_seg_tpu.data.loader import ship_window_hw
+
+    ds = sources.CityscapesDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    for mode in ("crop", "crop_scale_hung"):
+        geom = GeomConfig(crop_size=(16, 16), mode=mode, hflip=True)
+        assert ship_window_hw(geom, (32, 64)) is not None
+
+        def run(ship):
+            builder = HostBatchBuilder(ds, geom, with_labels=True,
+                                       canvas_hw=(32, 64), ship_window=ship)
+            batch = builder.build(ds.train_ndx[:4], np.random.RandomState(7))
+            out = augment_batch(
+                jnp.asarray(batch["canvas"]), jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["m"]), jnp.asarray(batch["sizes"]),
+                jnp.asarray(batch["interp"]),
+                np.zeros(3), np.ones(3), None,
+                out_hw=(16, 16), with_labels=True, border="constant")
+            return batch, out
+
+        b_full, o_full = run(False)
+        b_win, o_win = run(True)
+        assert b_win["canvas"].shape[1:3] != b_full["canvas"].shape[1:3]
+        np.testing.assert_allclose(np.asarray(o_win["image"]),
+                                   np.asarray(o_full["image"]), atol=1e-5,
+                                   err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(o_win["labels"]),
+                                      np.asarray(o_full["labels"]))
+        np.testing.assert_allclose(np.asarray(o_win["mask"]),
+                                   np.asarray(o_full["mask"]), atol=1e-5)
+
+
+def test_ship_window_disabled_for_reflect_mode():
+    from cutmix_seg_tpu.data.loader import ship_window_hw
+
+    geom = GeomConfig(crop_size=(16, 16), mode="crop_rotate_scale",
+                      rot_mag_deg=45.0, max_scale=1.1)
+    assert ship_window_hw(geom, (64, 64)) is None
+    # window never larger than what helps
+    small = GeomConfig(crop_size=(30, 30), mode="crop")
+    assert ship_window_hw(small, (32, 32)) is None
