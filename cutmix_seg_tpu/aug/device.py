@@ -179,7 +179,7 @@ def warp_labels_canvas(
 ):
     """Nearest warp of int label canvases; outside the true extent -> ignore.
 
-    :param labels_canvas: (N, CH, CW) int32
+    :param labels_canvas: (N, CH, CW) integer (uint8 transfers preferred)
     """
     n = labels_canvas.shape[0]
     sx, sy = _source_coords(m, out_hw, n)
@@ -190,7 +190,7 @@ def warp_labels_canvas(
     inb = (xn >= 0) & (xn < w_i) & (yn >= 0) & (yn < h_i)
     yc = jnp.clip(yn, 0, labels_canvas.shape[1] - 1)
     xc = jnp.clip(xn, 0, labels_canvas.shape[2] - 1)
-    vals = _gather_nhwc(labels_canvas[..., None], yc, xc)[..., 0]
+    vals = _gather_nhwc(labels_canvas.astype(jnp.int32)[..., None], yc, xc)[..., 0]
     return jnp.where(inb, vals, ignore_value)
 
 

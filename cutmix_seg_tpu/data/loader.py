@@ -184,7 +184,8 @@ class HostBatchBuilder:
         window = self.window_hw if geoms is not None else None
         ch, cw = window if window is not None else self.canvas_hw
         canvas = np.zeros((b, ch, cw, 3), np.uint8)
-        labels = np.full((b, ch, cw), 255, np.int32) if self.with_labels else None
+        # uint8 keeps host->device label traffic at 1 byte/px (255 = ignore)
+        labels = np.full((b, ch, cw), 255, np.uint8) if self.with_labels else None
         sizes = np.zeros((b, 2), np.int32)
         out_ms = [np.zeros((b, 2, 3), np.float32) for _ in range(
             2 if self.pair_geom else 1)] if geoms is not None else []
