@@ -143,3 +143,65 @@ def test_aug_cons_identity_xf_zero_loss_same_images():
     }
     _, metrics = step(state, batch, jnp.float32(1.0))
     assert float(metrics["cons_loss"]) < 1e-8
+
+
+def test_masked_consistency_subbatch_semantics():
+    """R folded sub-batches: loss_sum must equal the sum of per-sub-batch
+    means of (per_px * mask), matching the reference's separate backwards."""
+    import jax.numpy as jnp
+
+    from cutmix_seg_tpu.semisup.stepcore import ConsistencyCommon, masked_consistency
+
+    rng = np.random.RandomState(0)
+    R, B, H, W = 3, 2, 4, 4
+    per_px = jnp.asarray(rng.uniform(size=(R * B, H, W, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(R * B, H, W, 1)) > 0.3).astype(np.float32))
+
+    cfg = ConsistencyCommon(conf_thresh=0.0, unsup_batch_ratio=R)
+    loss_sum, loss_mean, conf_rate = masked_consistency(cfg, per_px, mask, None)
+
+    ref = np.asarray(per_px * mask).reshape(R, -1).mean(axis=1)
+    assert abs(float(loss_sum) - ref.sum()) < 1e-6
+    assert abs(float(loss_mean) - ref.mean()) < 1e-6
+    assert float(conf_rate) == 1.0
+
+    # batch-mean confidence gating is PER sub-batch
+    conf_px = jnp.asarray((rng.uniform(size=(R * B, H, W, 1)) > 0.5)
+                          .astype(np.float32))
+    cfg2 = ConsistencyCommon(conf_thresh=0.9, conf_per_pixel=False,
+                             unsup_batch_ratio=R)
+    loss_sum2, _, rate2 = masked_consistency(cfg2, per_px, mask, conf_px)
+    rates = np.asarray(conf_px).reshape(R, -1).mean(axis=1)
+    ref2 = (np.asarray(per_px * mask).reshape(R, -1).mean(axis=1) * rates).sum()
+    assert abs(float(loss_sum2) - ref2) < 1e-6
+    assert abs(float(rate2) - rates.mean()) < 1e-6
+
+
+def test_mask_mt_step_unsup_batch_ratio_2():
+    from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig
+    from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.semisup.mask_mt import (
+        MaskConsistencyConfig, make_mask_mt_step)
+
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(opt_type="adam", learning_rate=3e-4,
+                              lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(model, opt_cfg, jax.random.PRNGKey(0),
+                                   input_hw=(33, 33), mean_teacher=True,
+                                   pretrained=False)
+    cfg = MaskConsistencyConfig(mask_mode="mix", box=BoxMaskConfig((0.5, 0.5)),
+                                cons_weight=1.0, conf_thresh=0.97,
+                                freeze_bn=True, mean_teacher=True,
+                                unsup_batch_ratio=2)
+    step = make_mask_mt_step(model, tx, cfg)
+
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, b=4)  # sup batch of 4
+    # unsup arrays need leading dim R*B = 8
+    ext = make_batch(rng, b=8)
+    for k in ("ux0_tea", "ux0_stu", "um0", "ux1_tea", "ux1_stu", "um1"):
+        batch[k] = ext[k]
+    state2, metrics = step(state, batch, jnp.float32(1.0))
+    assert np.isfinite(float(metrics["sup_loss"]))
+    assert np.isfinite(float(metrics["cons_loss"]))
