@@ -1,0 +1,218 @@
+"""Multi-seed CutMix mean-teacher trainer: K split seeds in ONE XLA program.
+
+The paper's Cityscapes/ISIC tables average 5 split seeds, which the reference
+runs as 5 sequential single-GPU jobs (reference:
+run_cityscapes_experiments.sh:4-8, run_isic2017_experiments.sh:4-8). This
+trainer vmaps the fused CutMix step over a leading seed axis and shards that
+axis over the mesh — each device (or device group) trains its own seed with
+zero cross-seed communication, turning a 5-job sweep into one run.
+
+Usage mirrors train.mask_mt with ``--parallel_split_seeds "12345,23456,..."``
+replacing --split_seed; every other flag carries over. Per-epoch logs print
+one reference-format line per seed.
+"""
+
+from __future__ import annotations
+
+import time
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutmix_seg_tpu.core import checkpoint as ckpt
+from cutmix_seg_tpu.core import job
+from cutmix_seg_tpu.core.train_state import create_train_state
+from cutmix_seg_tpu.data import datasets
+from cutmix_seg_tpu.data.loader import HostBatchBuilder, train_stream
+from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig
+from cutmix_seg_tpu.ops.colour import ColourJitterConfig
+from cutmix_seg_tpu.aug.params import GeomConfig
+from cutmix_seg_tpu.parallel.mesh import make_mesh
+from cutmix_seg_tpu.parallel.multi_seed import (
+    make_multi_seed_step,
+    stack_pytrees,
+    unstack_state,
+)
+from cutmix_seg_tpu.semisup.mask_mt import MaskConsistencyConfig, make_mask_mt_step
+from cutmix_seg_tpu.train import common
+from cutmix_seg_tpu.train.cli_common import common_options
+from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
+
+
+def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
+    seeds = [int(s.strip()) for s in p["parallel_split_seeds"].split(",")]
+    K = len(seeds)
+    crop_hw = common.parse_crop_size(p["crop_size"])
+    mask_mix = p["mask_mode"] == "mix"
+
+    # per-seed data splits (same source; split selection differs per seed)
+    ds_dicts = [datasets.load_dataset(
+        p["dataset"], p["n_val"], p["val_seed"], p["n_sup"], p["n_unsup"],
+        split_seed, p["split_path"]) for split_seed in seeds]
+    ds = ds_dicts[0]["ds_src"]
+    n_classes = ds.num_classes
+    val_ndx = ds_dicts[0]["val_ndx_tgt"]
+    print("Loaded data")
+    for k, d in enumerate(ds_dicts):
+        print(f"seed {seeds[k]}: len(sup_ndx)={len(d['sup_ndx'])} "
+              f"len(unsup_ndx)={len(d['unsup_ndx'])}")
+
+    model = common.build_model(p["arch"], n_classes,
+                               p.get("compute_dtype", "bfloat16"))
+    mean, std = common.resolve_mean_std(model, ds)
+
+    if p["iters_per_epoch"] == -1:
+        p["iters_per_epoch"] = len(ds_dicts[0]["unsup_ndx"]) // p["batch_size"]
+    total_iters = p["iters_per_epoch"] * p["num_epochs"]
+    opt_cfg = common.build_optimizer_config(
+        p["opt_type"], p["learning_rate"], p["lr_sched"], p["lr_step_epochs"],
+        p["lr_step_gamma"], p["lr_poly_power"], total_iters,
+        p["iters_per_epoch"], p["sgd_momentum"], p["sgd_nesterov"],
+        p["sgd_weight_decay"])
+
+    mean_teacher = p["model"] == "mean_teacher"
+    states = []
+    for k in range(K):
+        s, tx = create_train_state(
+            model, opt_cfg, jax.random.PRNGKey(p.get("seed", 0) + k),
+            input_hw=(65, 65), mean_teacher=mean_teacher,
+            pretrained=not p.get("no_pretrained", False))
+        states.append(s)
+    mstate = stack_pytrees(states)
+    print("Built networks")
+
+    cfg = MaskConsistencyConfig(
+        mask_mode=p["mask_mode"],
+        box=BoxMaskConfig(
+            prop_range=common.parse_prop_range(p["mask_prop_range"]),
+            n_boxes=p["boxmask_n_boxes"],
+            random_aspect_ratio=not p["boxmask_fixed_aspect_ratio"],
+            prop_by_area=not p["boxmask_by_size"],
+            within_bounds=not p["boxmask_outside_bounds"],
+            invert=not p["boxmask_no_invert"]),
+        cons_loss_fn=p["cons_loss_fn"], cons_weight=p["cons_weight"],
+        conf_thresh=p["conf_thresh"], conf_per_pixel=p["conf_per_pixel"],
+        freeze_bn=p["freeze_bn"], mean_teacher=mean_teacher,
+        teacher_alpha=p["teacher_alpha"],
+        unsup_batch_ratio=p["unsup_batch_ratio"],
+        # vmap over the custom call is not supported; use the jnp blend
+        pallas_cutmix="off")
+
+    n_dev = len(jax.devices()) if p.get("n_devices", -1) == -1 else p["n_devices"]
+    mesh = make_mesh(min(n_dev, K))
+    mstep = make_multi_seed_step(make_mask_mt_step(model, tx, cfg), mesh)
+
+    geom = GeomConfig.from_cli(
+        crop_hw, p["aug_scale_hung"], p["aug_max_scale"], p["aug_rot_mag"],
+        p["aug_scale_non_uniform"], p["aug_hflip"], p["aug_vflip"],
+        p["aug_hvflip"])
+    colour = (ColourJitterConfig(
+        brightness=p["aug_colour_brightness"], contrast=p["aug_colour_contrast"],
+        saturation=p["aug_colour_saturation"], hue=p["aug_colour_hue"],
+        apply_prob=p["aug_colour_prob"],
+        greyscale_prob=p["aug_colour_greyscale_prob"])
+        if p["aug_strong_colour"] else None)
+    augmentor = common.DeviceAugmentor(mean, std, crop_hw, geom.mode, colour)
+
+    use_cons = p["cons_weight"] > 0.0
+    sup_builder = HostBatchBuilder(ds, geom, with_labels=True,
+                                   n_threads=p["num_workers"])
+    unsup_builder = HostBatchBuilder(ds, geom, with_labels=False,
+                                     n_threads=p["num_workers"])
+    sup_streams, u0_streams, u1_streams = [], [], []
+    base = p.get("seed", 0)
+    for k in range(K):
+        sup_streams.append(train_stream(
+            sup_builder, ds_dicts[k]["sup_ndx"], p["batch_size"],
+            seed=base + 10 + k * 100))
+        if use_cons:
+            ub = p["batch_size"] * p["unsup_batch_ratio"]
+            u0_streams.append(train_stream(
+                unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
+                seed=base + 20 + k * 100))
+            if mask_mix:
+                u1_streams.append(train_stream(
+                    unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
+                    seed=base + 30 + k * 100))
+
+    colour_key = jax.random.PRNGKey(base + 40)
+
+    def seed_batch(k, key):
+        sup = augmentor.sup(next(sup_streams[k]))
+        batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
+        if use_cons:
+            k0, k1 = jax.random.split(key)
+            u0 = augmentor.unsup(next(u0_streams[k]), k0)
+            if mask_mix:
+                u1 = augmentor.unsup(next(u1_streams[k]), k1)
+                batch.update(ux0_tea=u0["image"], ux0_stu=u0["image_stu"],
+                             um0=u0["mask"], ux1_tea=u1["image"],
+                             ux1_stu=u1["image_stu"], um1=u1["mask"])
+            else:
+                batch.update(ux_tea=u0["image"], ux_stu=u0["image_stu"],
+                             um=u0["mask"])
+        return batch
+
+    print("Training...")
+    for epoch_i in range(p["num_epochs"]):
+        t1 = time.time()
+        ramp_val = sigmoid_rampup(epoch_i, p["rampup"]) if p["rampup"] > 0 else 1.0
+        metric_accum = []
+        for _ in range(p["iters_per_epoch"]):
+            colour_key, *keys = jax.random.split(colour_key, K + 1)
+            mbatch = stack_pytrees([seed_batch(k, keys[k]) for k in range(K)])
+            mstate, metrics = mstep(mstate, mbatch, jnp.float32(ramp_val))
+            metric_accum.append(metrics)
+
+        m = {k: np.stack([np.asarray(mm[k]) for mm in metric_accum]).mean(axis=0)
+             for k in metric_accum[0]}
+        if common.check_nan(float(np.asarray(m["sup_loss"]).sum())):
+            return
+
+        t2 = time.time()
+        for k in range(K):
+            seed_state = unstack_state(mstate, k)
+            eval_state = (seed_state.teacher if mean_teacher
+                          else seed_state.student)
+            iou = common.evaluate(
+                model, eval_state, ds, val_ndx, p["batch_size"], mesh,
+                n_classes, mean, std, model.block_size, p["bin_fill_holes"])
+            print("Epoch {} [seed {}]: took {:.3f}s, TRAIN clf loss={:.6f}, "
+                  "consistency loss={:.6f}, conf rate={:.3%}, VAL mIoU={:.3%}"
+                  .format(epoch_i + 1, seeds[k], t2 - t1,
+                          float(m["sup_loss"][k]),
+                          float(m.get("cons_loss", np.zeros(K))[k]),
+                          float(m.get("conf_rate", np.zeros(K))[k]),
+                          iou.mean()))
+            ctx.log_metrics({"epoch": epoch_i + 1, "seed": seeds[k],
+                             "sup_loss": float(m["sup_loss"][k]),
+                             "val_miou": float(iou.mean())})
+        ckpt.save_checkpoint(ctx.checkpoint_dir, mstate, int(
+            np.asarray(unstack_state(mstate, 0).step)))
+
+    for s in sup_streams + u0_streams + u1_streams:
+        s.close()
+
+
+@click.command()
+@common_options()
+@click.option("--mask_mode", type=click.Choice(["zero", "mix"]), default="mix")
+@click.option("--mask_prop_range", type=str, default="0.5")
+@click.option("--boxmask_n_boxes", type=int, default=1)
+@click.option("--boxmask_fixed_aspect_ratio", is_flag=True, default=False)
+@click.option("--boxmask_by_size", is_flag=True, default=False)
+@click.option("--boxmask_outside_bounds", is_flag=True, default=False)
+@click.option("--boxmask_no_invert", is_flag=True, default=False)
+@click.option("--parallel_split_seeds", type=str,
+              default="12345,23456,34567,45678,56789",
+              help="comma-separated split seeds trained simultaneously, one "
+                   "mesh shard each")
+def experiment(job_desc, **params):
+    job.submit("train_seg_semisup_mask_mt_multiseed", job_desc,
+               train_seg_semisup_mask_mt_multiseed, params)
+
+
+if __name__ == "__main__":
+    experiment()

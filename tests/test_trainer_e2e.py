@@ -213,3 +213,18 @@ def test_cli_surfaces():
         for flag in ("--dataset", "--arch", "--cons_loss_fn", "--conf_thresh",
                      "--teacher_alpha", "--split_seed", "--n_sup"):
             assert flag in res.output, (mod.__name__, flag)
+
+
+def test_multi_seed_trainer_end_to_end(tiny_zip, tmp_path, monkeypatch):
+    from cutmix_seg_tpu.train.multi_seed_mask_mt import (
+        train_seg_semisup_mask_mt_multiseed)
+
+    _patch_zip(monkeypatch, tiny_zip)
+    p = _params(tiny_zip, num_epochs=1, aug_strong_colour=False)
+    del p["n_devices"]
+    p["parallel_split_seeds"] = "12345,23456"
+    job.submit("test_mseed", "run1", train_seg_semisup_mask_mt_multiseed, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_mseed" / "run1" / "log_run1.txt").read_text()
+    assert "[seed 12345]" in log and "[seed 23456]" in log
+    assert log.count("VAL mIoU=") == 2
