@@ -157,12 +157,23 @@ class PascalVOCDataSource(DataSource):
 
         if fg_class_subset is not None:
             fg = np.asarray(fg_class_subset)
-            keep = []
-            for i in range(len(self.sample_names)):
-                present = set(np.unique(self._raw_labels(i)))
-                if present & set(fg.tolist()):
-                    keep.append(i)
-            keep = set(keep)
+            # valid-index pickle cache keyed by the subset string, so repeat
+            # constructions skip the O(dataset) label decodes
+            # (reference: pascal_voc_dataset.py:107-124)
+            subset_str = "-".join(str(int(x)) for x in fg)
+            cache_path = os.path.join(
+                root, f"valid_images_fg_subset_{subset_str}.pkl")
+            if os.path.exists(cache_path):
+                with open(cache_path, "rb") as f:
+                    keep = pickle.load(f)
+            else:
+                fg_set = set(fg.tolist())
+                keep = [i for i in range(len(self.sample_names))
+                        if set(np.unique(self._raw_labels(i))) & fg_set]
+                keep = np.array(keep)
+                with open(cache_path, "wb") as f:
+                    pickle.dump(keep, f)
+            keep = set(np.asarray(keep).tolist())
             self.train_ndx = np.array([i for i in self.train_ndx if i in keep])
             self.val_ndx = np.array([i for i in self.val_ndx if i in keep])
             self.num_classes = len(fg) + 1

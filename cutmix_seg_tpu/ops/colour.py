@@ -9,8 +9,11 @@ vectorised on device over float images in [0, 1]:
 
   * factors: brightness/contrast/saturation ~ U(max(0, 1-f), 1+f),
     hue ~ U(-h, h) — torchvision's parameter draws;
-  * op order: torchvision shuffles the four op order per call; we shuffle
-    per batch (statistically equivalent variety at augmentation scale);
+  * op order: torchvision shuffles the four-op order per call, which at
+    host-side per-image application means per SAMPLE; here a permutation is
+    drawn per sample and applied via a per-slot select (each slot evaluates
+    the four candidate ops on the batch and picks per sample — 16 cheap
+    elementwise passes, negligible next to the network convs);
   * arithmetic is float with clamp to [0, 1] rather than torchvision's
     per-op uint8 rounding (sub-quantisation-level deviation);
   * grayscale uses the ITU-R 601 luma weights torchvision uses
@@ -72,6 +75,13 @@ def _hsv_to_rgb(h, s, v):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _sample_orders(key: jax.Array, n: int) -> jnp.ndarray:
+    """(n, 4) int32: an independent permutation of the four ops per sample
+    (torchvision shuffles per call; the reference applies it per image)."""
+    return jax.vmap(lambda k: jax.random.permutation(k, 4))(
+        jax.random.split(key, n))
+
+
 def colour_jitter(
     img: jnp.ndarray, key: jax.Array, cfg: ColourJitterConfig
 ) -> jnp.ndarray:
@@ -108,11 +118,15 @@ def colour_jitter(
         return _hsv_to_rgb(h, s, v)
 
     ops = [op_brightness, op_contrast, op_saturation, op_hue]
-    order = jax.random.permutation(keys[4], 4)
+    order = _sample_orders(keys[4], n)  # (n, 4) per-sample permutations
 
     out = img
     for slot in range(4):
-        out = jax.lax.switch(order[slot], ops, out)
+        sel = order[:, slot][:, None, None, None]
+        cand = ops[0](out)
+        for k in (1, 2, 3):
+            cand = jnp.where(sel == k, ops[k](out), cand)
+        out = cand
 
     # RandomApply(p): per-sample choice of jittered vs original
     apply = jax.random.uniform(keys[5], (n, 1, 1, 1)) < cfg.apply_prob

@@ -2,6 +2,7 @@
 semantic checks against hand-computed / reference-derived expectations."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +31,7 @@ def _setup(make_step_fn, cfg):
     return model, state, make_step_fn(model, tx, cfg)
 
 
+@pytest.mark.slow
 def test_ict_step_runs_and_learns():
     cfg = ICTConfig(ict_alpha=0.1, conf_thresh=0.97)
     model, state, step = _setup(make_ict_step, cfg)
@@ -109,6 +111,7 @@ def _aug_batch(rng, b=4, hw=(33, 33), C=4):
     return batch
 
 
+@pytest.mark.slow
 def test_aug_cons_step_runs():
     cfg = AugConsConfig(conf_thresh=0.97)
     model, state, step = _setup(make_aug_cons_step, cfg)
@@ -177,6 +180,7 @@ def test_masked_consistency_subbatch_semantics():
     assert abs(float(rate2) - rates.mean()) < 1e-6
 
 
+@pytest.mark.slow
 def test_mask_mt_step_unsup_batch_ratio_2():
     from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig
     from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state

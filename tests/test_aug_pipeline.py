@@ -232,6 +232,30 @@ def test_colour_jitter_properties():
     np.testing.assert_allclose(same, np.asarray(img), atol=1e-6)
 
 
+def test_colour_jitter_per_sample_op_order():
+    """The four-op order is drawn per SAMPLE (torchvision shuffles per call,
+    which the reference applies per image) — orders must be valid
+    permutations and differ within a batch."""
+    from cutmix_seg_tpu.ops.colour import _sample_orders
+
+    orders = np.asarray(_sample_orders(jax.random.PRNGKey(7), 64))
+    assert orders.shape == (64, 4)
+    for row in orders:
+        assert sorted(row.tolist()) == [0, 1, 2, 3]
+    assert len({tuple(r) for r in orders.tolist()}) > 1
+
+    # the order must actually influence the output: identical images with
+    # identical factor magnitudes but per-sample orders can't all match
+    rng = np.random.RandomState(8)
+    one = rng.uniform(0.2, 0.8, size=(1, 8, 8, 3)).astype(np.float32)
+    img = jnp.asarray(np.repeat(one, 64, axis=0))
+    cfg = ColourJitterConfig(brightness=0.8, contrast=0.8, saturation=0.8,
+                             hue=0.4, apply_prob=1.0, greyscale_prob=0.0)
+    out = np.asarray(colour_jitter(img, jax.random.PRNGKey(9), cfg))
+    flat = out.reshape(64, -1)
+    assert len({tuple(np.round(r, 5)) for r in flat.tolist()}) > 1
+
+
 def test_hsv_roundtrip_vs_colorsys():
     import colorsys
 

@@ -2,6 +2,7 @@
 with single-seed runs, and seed-axis sharding over the CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,8 @@ from cutmix_seg_tpu.semisup.mask_mt import MaskConsistencyConfig, make_mask_mt_s
 
 from tests.test_train_step import make_batch, tiny_model
 
+
+pytestmark = pytest.mark.slow  # full e2e runs; quick bar: -m "not slow"
 
 def _setup(k_seeds=4):
     model = tiny_model()

@@ -111,6 +111,32 @@ def test_pascal_fg_class_subset(voc_root):
         assert set(np.unique(y)).issubset({0, 1, 255})
 
 
+def test_pascal_fg_class_subset_valid_index_cache(voc_root, monkeypatch):
+    """Second construction must read the pickled valid-index cache and do
+    ZERO label decodes (reference: pascal_voc_dataset.py:107-124)."""
+    import os
+
+    kw = dict(n_val=-1, val_rng=np.random.RandomState(131),
+              trainval_perm=None, augmented=False, fg_class_subset=[2],
+              root=voc_root)
+    first = sources.PascalVOCDataSource(**kw)
+    cache = os.path.join(voc_root, "valid_images_fg_subset_2.pkl")
+    assert os.path.exists(cache)
+
+    calls = {"n": 0}
+    orig = sources.PascalVOCDataSource._raw_labels
+
+    def counting(self, i):
+        calls["n"] += 1
+        return orig(self, i)
+
+    monkeypatch.setattr(sources.PascalVOCDataSource, "_raw_labels", counting)
+    second = sources.PascalVOCDataSource(**kw)
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(first.train_ndx, second.train_ndx)
+    np.testing.assert_array_equal(first.val_ndx, second.val_ndx)
+
+
 def test_pascal_trainval_perm(voc_root):
     perm = np.array([6, 5, 4, 3, 2, 1, 0])
     ds = sources.PascalVOCDataSource(

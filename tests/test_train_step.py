@@ -82,6 +82,7 @@ def _setup(mode="mix", mean_teacher=True, cons_weight=1.0, conf_thresh=0.97):
     return model, state, step
 
 
+@pytest.mark.slow
 def test_mask_mt_step_runs_and_learns():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8

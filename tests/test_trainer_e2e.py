@@ -16,6 +16,8 @@ from cutmix_seg_tpu.models.common import SegModel
 from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
 
 
+pytestmark = pytest.mark.slow  # full e2e runs; quick bar: -m "not slow"
+
 def _png_bytes(arr):
     import io
 
