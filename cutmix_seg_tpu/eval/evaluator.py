@@ -1,11 +1,13 @@
-"""Sharded evaluation: jitted argmax + confusion accumulation over the mesh.
+"""Sharded evaluation: jitted normalise + argmax + confusion over the mesh.
 
 The reference pulls per-batch argmax to the host and accumulates NumPy I/U per
-sample (reference: train_seg_semisup_mask_mt.py:484-517). Here the whole
-batch's confusion matrix is computed on device (one scatter-add) and summed
-across data-parallel shards by XLA; a single small (C, C) matrix crosses to
-the host per batch. Padded pixels use the ignore value, so bucketed padding at
-eval time does not perturb the metric.
+sample (reference: train_seg_semisup_mask_mt.py:484-517). Here ONE jitted
+program per eval batch normalises the raw uint8 canvases, runs the forward,
+and computes the batch confusion matrix on device (one scatter-add); with the
+batch sharded over the data mesh axis XLA splits the forward across chips and
+psum-reduces the (C, C) matrix, so a single small matrix crosses to the host
+per batch. Padded pixels use the ignore value, so bucketed padding at eval
+time does not perturb the metric.
 """
 
 from __future__ import annotations
@@ -15,6 +17,85 @@ import jax.numpy as jnp
 
 from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.mask_mt import apply_model
+
+
+def normalise_eval_batch(batch, mean, std):
+    """Normalise a raw eval batch inside jit (no geometry at eval time).
+
+    batch: {'canvas': (N,H,W,3) uint8 images at the canvas origin,
+    'labels': (N,H,W) integer (255-filled beyond the true extent),
+    'sizes': (N,2) int true (h,w)}. Equivalent to the identity-matrix warp of
+    aug.device.augment_batch (bilinear taps at exact integer coordinates with
+    full coverage inside the extent) without the gathers: the valid mask is
+    computed directly from the extents and the alpha-trick standardisation
+    applied (reference: seg_transforms_cv.py:598-610).
+    """
+    canvas = batch["canvas"]
+    sizes = batch["sizes"]
+    n, h, w = canvas.shape[:3]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    valid = (
+        (ys < sizes[:, 0, None, None]) & (xs < sizes[:, 1, None, None])
+    ).astype(jnp.float32)[..., None]
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    x = (canvas.astype(jnp.float32) / 255.0 - mean * valid) / std
+    y = batch["labels"].astype(jnp.int32)
+    return x, y, valid
+
+
+_sharded_cache = {}
+
+
+def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
+                         ignore_value: int = 255):
+    """(model_state, raw_batch) -> replicated (C, C) int32 confusion matrix,
+    jitted over ``mesh`` with the batch sharded on 'data'. Compiled programs
+    are cached per (model, mesh, classes, stats) so per-epoch calls reuse
+    them."""
+    from cutmix_seg_tpu.parallel.mesh import jit_sharded_eval
+
+    key = ("cm", id(model), id(mesh), num_classes, ignore_value,
+           tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
+    f = _sharded_cache.get(key)
+    if f is None:
+        def eval_fn(model_state, batch):
+            x, y, _ = normalise_eval_batch(batch, mean, std)
+            logits, _ = apply_model(
+                model, model_state.params, model_state.batch_stats, x,
+                train=False, freeze_bn=True)
+            pred = jnp.argmax(logits, axis=-1)
+            return confusion_matrix(pred, y, num_classes, ignore_value)
+
+        f = jit_sharded_eval(eval_fn, mesh)
+        _sharded_cache[key] = f
+    return f
+
+
+def make_sharded_predict_fn(model, mean, std, mesh):
+    """(model_state, raw_batch) -> (pred (N,H,W) int32, y (N,H,W) int32),
+    jitted over ``mesh`` with batch and outputs sharded on 'data'. For the
+    host-side paths that need per-sample predictions (ISIC hole filling,
+    prediction PNG export)."""
+    from cutmix_seg_tpu.parallel.mesh import batch_sharding, replicated
+
+    key = ("pred", id(model), id(mesh),
+           tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
+    f = _sharded_cache.get(key)
+    if f is None:
+        def raw(model_state, batch):
+            x, y, _ = normalise_eval_batch(batch, mean, std)
+            logits, _ = apply_model(
+                model, model_state.params, model_state.batch_stats, x,
+                train=False, freeze_bn=True)
+            return jnp.argmax(logits, axis=-1), y
+
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        f = jax.jit(raw, in_shardings=(repl, data), out_shardings=(data, data))
+        _sharded_cache[key] = f
+    return f
 
 
 def make_eval_cm_fn(model, num_classes: int, ignore_value: int = 255,

@@ -17,7 +17,6 @@ from cutmix_seg_tpu.aug.device import augment_batch, border_for_mode
 from cutmix_seg_tpu.aug.params import GeomConfig
 from cutmix_seg_tpu.core.schedules import make_lr_schedule
 from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
-from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn, predict_fn
 from cutmix_seg_tpu.models import registry
 from cutmix_seg_tpu.ops.colour import ColourJitterConfig
 from cutmix_seg_tpu.ops.iou import EvaluatorIoU
@@ -112,35 +111,47 @@ class DeviceAugmentor:
         return out
 
 
+def _eval_raw_batch(mesh, batch):
+    """Device placement for one raw eval batch, sharded over 'data'."""
+    from cutmix_seg_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(mesh, {
+        "canvas": jnp.asarray(batch["canvas"]),
+        "labels": jnp.asarray(batch["labels"]),
+        "sizes": jnp.asarray(batch["sizes"]),
+    })
+
+
 def evaluate(model, model_state, source, indices, batch_size, mesh,
              num_classes, mean, std, block_size, fill_holes=False):
-    """Full eval pass -> per-class IoU array (reference metric semantics)."""
-    from cutmix_seg_tpu.data.loader import eval_batches
-    from cutmix_seg_tpu.aug import affine as host_affine
+    """Full eval pass -> per-class IoU array (reference metric semantics).
 
-    eval_fn = make_eval_cm_fn(model, num_classes)
+    One jitted program per batch (normalise + forward + confusion), sharded
+    over the mesh's 'data' axis: the batch size is rounded up to a multiple of
+    the axis so every chip takes an equal slice, and the confusion matrix is
+    psum-reduced by XLA (eval_batches pads short batches with all-255 labels,
+    which cannot perturb the matrix)."""
+    from cutmix_seg_tpu.data.loader import eval_batches
+    from cutmix_seg_tpu.eval.evaluator import (
+        make_sharded_eval_fn,
+        make_sharded_predict_fn,
+    )
+
+    n_data = mesh.shape["data"]
+    eval_bs = -(-batch_size // n_data) * n_data
     ev = EvaluatorIoU(num_classes, fill_holes=fill_holes)
 
-    for batch in eval_batches(source, indices, batch_size, block_size):
-        n = batch["canvas"].shape[0]
-        ident = host_affine.identity(n)
-        aug = augment_batch(
-            jnp.asarray(batch["canvas"]),
-            jnp.asarray(batch["labels"]),
-            jnp.asarray(ident),
-            jnp.asarray(batch["sizes"]),
-            jnp.asarray(np.ones(n, np.int32)),
-            mean, std, None,
-            out_hw=batch["canvas"].shape[1:3], with_labels=True,
-        )
-        x, y = aug["image"], aug["labels"]
-        if fill_holes:
-            # hole filling is a host-side morphological op on the argmax
-            pred = np.asarray(predict_fn(model, model_state, x))
-            ev.update_batch(pred[: batch["count"]],
+    if fill_holes:
+        # hole filling is a host-side morphological op on the argmax
+        predict = make_sharded_predict_fn(model, mean, std, mesh)
+        for batch in eval_batches(source, indices, eval_bs, block_size):
+            pred, y = predict(model_state, _eval_raw_batch(mesh, batch))
+            ev.update_batch(np.asarray(pred)[: batch["count"]],
                             np.asarray(y)[: batch["count"]])
-        else:
-            cm = eval_fn(model_state, {"x": x, "y": y})
+    else:
+        eval_fn = make_sharded_eval_fn(model, num_classes, mean, std, mesh)
+        for batch in eval_batches(source, indices, eval_bs, block_size):
+            cm = eval_fn(model_state, _eval_raw_batch(mesh, batch))
             ev.update_cm(np.asarray(cm))
     return ev.score()
 

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from cutmix_seg_tpu.aug import affine as host_affine
-from cutmix_seg_tpu.aug.device import augment_batch, border_for_mode
 from cutmix_seg_tpu.aug.params import GeomConfig
 from cutmix_seg_tpu.core import checkpoint as ckpt
 from cutmix_seg_tpu.core import job
@@ -275,27 +274,23 @@ class TrainEngine:
 
         if p["save_preds"] or self.test_ndx is not None:
             from cutmix_seg_tpu.data.loader import eval_batches
-            from cutmix_seg_tpu.eval.evaluator import predict_fn
+            from cutmix_seg_tpu.eval.evaluator import make_sharded_predict_fn
+            from cutmix_seg_tpu.train.common import _eval_raw_batch
 
             out_dir = (os.path.join(self.ctx.run_dir, "preds")
                        if p["save_preds"] else None)
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
+            predict = make_sharded_predict_fn(
+                self.model, self.mean, self.std, self.mesh)
+            eval_bs = -(-p["batch_size"] // self.n_data) * self.n_data
 
             def predict_over(indices, evaluator=None):
-                for batch in eval_batches(self.ds, indices, p["batch_size"],
+                for batch in eval_batches(self.ds, indices, eval_bs,
                                           self.model.block_size):
-                    n = batch["canvas"].shape[0]
-                    aug = augment_batch(
-                        jnp.asarray(batch["canvas"]),
-                        jnp.asarray(batch["labels"]),
-                        jnp.asarray(host_affine.identity(n)),
-                        jnp.asarray(batch["sizes"]),
-                        jnp.asarray(np.ones(n, np.int32)),
-                        self.mean, self.std, None,
-                        out_hw=batch["canvas"].shape[1:3], with_labels=True)
-                    pred = np.asarray(
-                        predict_fn(self.model, self.eval_state(), aug["image"]))
+                    pred, y = predict(self.eval_state(),
+                                      _eval_raw_batch(self.mesh, batch))
+                    pred, y = np.asarray(pred), np.asarray(y)
                     for k in range(batch["count"]):
                         i = int(batch["indices"][k])
                         h, w = batch["sizes"][k]
@@ -303,9 +298,8 @@ class TrainEngine:
                             self.ds.save_prediction_by_index(
                                 out_dir, pred[k, :h, :w], i)
                         if evaluator is not None:
-                            evaluator.update_batch(
-                                pred[k: k + 1, :h, :w],
-                                np.asarray(aug["labels"])[k: k + 1, :h, :w])
+                            evaluator.update_batch(pred[k: k + 1, :h, :w],
+                                                   y[k: k + 1, :h, :w])
 
             if p["save_preds"]:
                 predict_over(self.val_ndx)

@@ -154,6 +154,84 @@ def test_frozen_bn_params_get_no_updates():
     assert not np.array_equal(c0, c1)
 
 
+class _FakeEvalSource:
+    """In-memory variable-size dataset for full-pass eval tests."""
+
+    canvas_hw = (16, 24)
+
+    def __init__(self, n=10, num_classes=4, seed=0):
+        rng = np.random.RandomState(seed)
+        self.num_classes = num_classes
+        self.images = [
+            rng.randint(0, 255, (rng.randint(10, 17), rng.randint(12, 25), 3),
+                        dtype=np.uint8) for _ in range(n)]
+        self.labels = [rng.randint(0, num_classes, im.shape[:2]).astype(np.int32)
+                       for im in self.images]
+
+    def get_image(self, i):
+        return self.images[i]
+
+    def get_labels(self, i):
+        return self.labels[i]
+
+    def get_mean_std(self):
+        return np.full(3, 0.5), np.full(3, 0.25)
+
+
+def test_common_evaluate_sharded_full_pass_matches_host():
+    """A full sharded eval pass over the 8-device mesh (batches rounded up to
+    the data axis, short batch padded) must produce exactly the confusion
+    matrix of an unsharded host loop with a different batch size."""
+    from cutmix_seg_tpu.data.loader import eval_batches
+    from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
+    from cutmix_seg_tpu.ops.iou import confusion_matrix
+    from cutmix_seg_tpu.semisup.mask_mt import apply_model
+    from cutmix_seg_tpu.train import common
+
+    mesh = make_mesh()
+    model, state, _ = _setup("mix")
+    src = _FakeEvalSource(n=10)
+    indices = np.arange(10)
+    mean, std = src.get_mean_std()
+
+    iou = common.evaluate(model, state.teacher, src, indices, batch_size=3,
+                          mesh=mesh, num_classes=4, mean=mean, std=std,
+                          block_size=(1, 1))
+
+    # host reference: plain jit, different batching (5), same math
+    ev = EvaluatorIoU(4)
+    for batch in eval_batches(src, indices, 5, (1, 1)):
+        x, y, _ = normalise_eval_batch(
+            {k: jnp.asarray(batch[k]) for k in ("canvas", "labels", "sizes")},
+            mean, std)
+        logits, _ = apply_model(model, state.teacher.params,
+                                state.teacher.batch_stats, x,
+                                train=False, freeze_bn=True)
+        ev.update_cm(np.asarray(confusion_matrix(
+            jnp.argmax(logits, -1), y, 4)))
+    np.testing.assert_allclose(iou, ev.score())
+
+
+def test_common_evaluate_fill_holes_path_sharded():
+    """ISIC-style 2-class eval with host-side hole filling through the
+    sharded predict path."""
+    from cutmix_seg_tpu.train import common
+
+    mesh = make_mesh()
+    model = tiny_model(num_classes=2)
+    opt_cfg = OptimizerConfig(opt_type="adam", learning_rate=3e-4,
+                              lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, _ = create_train_state(model, opt_cfg, jax.random.PRNGKey(1),
+                                  input_hw=(16, 24), mean_teacher=True,
+                                  pretrained=False)
+    src = _FakeEvalSource(n=6, num_classes=2, seed=3)
+    mean, std = src.get_mean_std()
+    iou = common.evaluate(model, state.teacher, src, np.arange(6),
+                          batch_size=4, mesh=mesh, num_classes=2, mean=mean,
+                          std=std, block_size=(1, 1), fill_holes=True)
+    assert iou.shape == (2,) and np.isfinite(iou).all()
+
+
 def test_sharded_eval_matches_host():
     mesh = make_mesh()
     model, state, _ = _setup("mix")
