@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 
 def resolve_rects(rects: jnp.ndarray, hw) -> jnp.ndarray:
@@ -120,3 +121,25 @@ def cutmix_blend(x0: jnp.ndarray, x1: jnp.ndarray, rects: jnp.ndarray,
         interpret=interpret,
     )(ri, x0v, x1v)
     return x_mix.reshape(n, h, w, c), mask[..., None]
+
+
+def cutmix_blend_sharded(x0, x1, rects, invert=True, mesh=None,
+                         interpret=None):
+    """``cutmix_blend`` shard_mapped over the mesh's 'data' axis.
+
+    The kernel is embarrassingly batch-parallel (every output row depends
+    only on its own sample's inputs and rectangles), so under a data-sharded
+    jit the custom call must partition with the batch rather than force XLA
+    to gather the operands onto one device. With no mesh (or a 1-wide data
+    axis) this is exactly ``cutmix_blend``.
+    """
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return cutmix_blend(x0, x1, rects, invert=invert, interpret=interpret)
+    spec = P("data")
+    fn = functools.partial(cutmix_blend, invert=invert, interpret=interpret)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; the kernel is per-sample so outputs vary exactly like the
+    # in/out specs say
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=(spec, spec),
+                         check_vma=False)(x0, x1, rects)

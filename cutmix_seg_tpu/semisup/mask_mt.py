@@ -30,7 +30,7 @@ from cutmix_seg_tpu.masks.box_mask import (
     sample_box_rects,
     sample_masks,
 )
-from cutmix_seg_tpu.ops.pallas_cutmix import cutmix_blend
+from cutmix_seg_tpu.ops.pallas_cutmix import cutmix_blend_sharded
 from cutmix_seg_tpu.semisup import losses as L
 from cutmix_seg_tpu.semisup.stepcore import (
     ConsistencyCommon,
@@ -52,8 +52,12 @@ class MaskConsistencyConfig(ConsistencyCommon):
     pallas_cutmix: str = "auto"
 
 
-def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
+def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     """Build the jittable step function.
+
+    ``mesh``: when the step will be jitted with the batch sharded over a
+    'data' mesh axis, pass the mesh so the Pallas CutMix fast path
+    shard_maps with the batch (no-op for the jnp path and 1-wide meshes).
 
     batch dict (leading dim B for sup, R*B for unsup where
     R = unsup_batch_ratio; all images normalised NHWC float, labels int NHW,
@@ -85,8 +89,9 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig):
                 )
                 if use_pallas:
                     rects = sample_box_rects(cfg.box, k_mask, n, hw)
-                    x_stu_cons, m = cutmix_blend(
-                        ux_stu0, ux_stu1, rects, invert=cfg.box.invert)
+                    x_stu_cons, m = cutmix_blend_sharded(
+                        ux_stu0, ux_stu1, rects, invert=cfg.box.invert,
+                        mesh=mesh)
                 else:
                     m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu0.dtype)
                     x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m

@@ -35,7 +35,7 @@ def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
     )
     spec = AlgorithmSpec(
         name="aug_mt",
-        make_step=lambda model, tx: make_aug_cons_step(model, tx, cfg),
+        make_step=lambda model, tx, mesh: make_aug_cons_step(model, tx, cfg),
         unsup_streams=1,
         pair_geom=True,
         compose=compose_aug_pair,

@@ -46,7 +46,8 @@ from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
 class AlgorithmSpec:
     """What differs between the four trainers.
 
-    make_step(model, tx) -> fused step fn.
+    make_step(model, tx, mesh) -> fused step fn (mesh lets steps shard_map
+        custom kernels over the data axis; pass-through for the rest).
     unsup_streams: number of independent unsupervised streams (mask_mt mix: 2;
         others: 1). ICT draws twice from its single stream.
     pair_geom: sample two correlated geometric transforms per image (aug_mt).
@@ -129,7 +130,7 @@ class TrainEngine:
             None if p.get("n_devices", -1) == -1 else p["n_devices"])
         self.n_data = self.mesh.shape["data"]
         self.step = jit_sharded_step(
-            self.spec.make_step(self.model, self.tx), self.mesh)
+            self.spec.make_step(self.model, self.tx, self.mesh), self.mesh)
 
         self.geom = GeomConfig.from_cli(
             self.crop_hw, p["aug_scale_hung"], p["aug_max_scale"],

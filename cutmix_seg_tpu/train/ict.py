@@ -29,7 +29,7 @@ def train_seg_semisup_ict(ctx: job.RunContext, **p):
     )
     spec = AlgorithmSpec(
         name="ict",
-        make_step=lambda model, tx: make_ict_step(model, tx, cfg),
+        make_step=lambda model, tx, mesh: make_ict_step(model, tx, cfg),
         unsup_streams=1,
         pair_geom=False,
         compose=compose_ict,

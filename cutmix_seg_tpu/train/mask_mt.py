@@ -52,7 +52,7 @@ def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
     )
     spec = AlgorithmSpec(
         name="mask_mt",
-        make_step=lambda model, tx: make_mask_mt_step(model, tx, cfg),
+        make_step=lambda model, tx, mesh: make_mask_mt_step(model, tx, cfg, mesh=mesh),
         unsup_streams=2 if mask_mix else 1,
         pair_geom=False,
         compose=compose_mask_mix if mask_mix else compose_mask_zero,

@@ -31,7 +31,7 @@ def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
     )
     spec = AlgorithmSpec(
         name="vat_mt",
-        make_step=lambda model, tx: make_vat_step(model, tx, cfg),
+        make_step=lambda model, tx, mesh: make_vat_step(model, tx, cfg),
         unsup_streams=1,
         pair_geom=False,
         compose=compose_vat,
