@@ -19,6 +19,7 @@ from cutmix_seg_tpu.train.engine import (
     AlgorithmSpec,
     TrainEngine,
     compose_aug_pair,
+    fetch_aug_pair,
 )
 
 
@@ -38,6 +39,7 @@ def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
         make_step=lambda model, tx, mesh: make_aug_cons_step(model, tx, cfg),
         unsup_streams=1,
         pair_geom=True,
+        fetch=fetch_aug_pair,
         compose=compose_aug_pair,
     )
     TrainEngine(ctx, spec, cfg, p).run()

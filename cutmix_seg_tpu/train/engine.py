@@ -35,6 +35,7 @@ from cutmix_seg_tpu.parallel.mesh import (
     jit_sharded_step,
     make_mesh,
     maybe_initialize_distributed,
+    replicated,
     shard_batch,
 )
 from cutmix_seg_tpu.semisup.stepcore import ConsistencyCommon
@@ -46,18 +47,26 @@ from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
 class AlgorithmSpec:
     """What differs between the four trainers.
 
-    make_step(model, tx, mesh) -> fused step fn (mesh lets steps shard_map
-        custom kernels over the data axis; pass-through for the rest).
+    make_step(model, tx, mesh) -> fused algorithm step fn (mesh lets steps
+        shard_map custom kernels over the data axis; pass-through for the
+        rest).
     unsup_streams: number of independent unsupervised streams (mask_mt mix: 2;
         others: 1). ICT draws twice from its single stream.
     pair_geom: sample two correlated geometric transforms per image (aug_mt).
-    compose: fn(engine, streams, key) -> unsup part of the step batch.
+    fetch: fn(engine, streams) -> host-side raw unsup batch (nested numpy
+        dicts straight off the loaders; runs on the host each iteration).
+    compose: fn(augmentor, raw, key) -> unsup part of the algorithm batch.
+        TRACED: runs inside the single jitted per-iteration program, so the
+        device augmentation fuses with the train step (the reference spreads
+        this over many host-dispatched kernels;
+        train_seg_semisup_mask_mt.py:287-467).
     """
 
     name: str
     make_step: Callable
     unsup_streams: int
     pair_geom: bool
+    fetch: Callable
     compose: Callable
 
 
@@ -129,8 +138,6 @@ class TrainEngine:
         self.mesh = make_mesh(
             None if p.get("n_devices", -1) == -1 else p["n_devices"])
         self.n_data = self.mesh.shape["data"]
-        self.step = jit_sharded_step(
-            self.spec.make_step(self.model, self.tx, self.mesh), self.mesh)
 
         self.geom = GeomConfig.from_cli(
             self.crop_hw, p["aug_scale_hung"], p["aug_max_scale"],
@@ -153,6 +160,29 @@ class TrainEngine:
             if p["aug_strong_colour"] else None)
         self.augmentor = common.DeviceAugmentor(
             self.mean, self.std, self.crop_hw, self.geom.mode, self.colour)
+
+        # ONE XLA program per training iteration: the device augmentation of
+        # every stream (sup warp+normalise, unsup warp+colour pair+masks) is
+        # traced into the same jitted program as the algorithm step, so each
+        # iteration is a single dispatch of raw uint8 canvases + matrices.
+        algo_step = self.spec.make_step(self.model, self.tx, self.mesh)
+        augmentor = self.augmentor
+        spec = self.spec
+        use_cons = self.algo_cfg.cons_weight > 0.0
+
+        def fused_step(state, raw, scalars):
+            sup = augmentor.sup(raw["sup"])
+            batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
+            if use_cons:
+                batch.update(spec.compose(augmentor, raw, scalars["key"]))
+            return algo_step(state, batch, scalars["ramp"])
+
+        self.step = jit_sharded_step(fused_step, self.mesh)
+        # Pre-place the state replicated on the mesh: otherwise the first
+        # step call sees mesh-untagged avals and the second (whose state is a
+        # jit output) sees mesh-tagged ones -> a silent second trace+compile
+        # of the whole program.
+        self.state = jax.device_put(self.state, replicated(self.mesh))
 
         seed = p.get("seed", 0)
         global_batch = p["batch_size"] * self.n_data
@@ -191,12 +221,14 @@ class TrainEngine:
         self.colour_key, k = jax.random.split(self.colour_key)
         return k
 
-    def make_step_batch(self):
-        sup = self.augmentor.sup(next(self.sup_stream))
-        batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
+    def make_raw_batch(self):
+        """Host work only: pull decoded canvases + matrices off the streams
+        and place them sharded; all per-pixel work happens inside the fused
+        step program."""
+        raw = {"sup": next(self.sup_stream)}
         if self.use_cons:
-            batch.update(self.spec.compose(self, self.streams, self.next_key()))
-        return shard_batch(self.mesh, batch)
+            raw.update(self.spec.fetch(self, self.streams))
+        return shard_batch(self.mesh, raw)
 
     def eval_state(self):
         return self.state.teacher if self.mean_teacher else self.state.student
@@ -221,13 +253,16 @@ class TrainEngine:
 
                     with trace(profile_dir):
                         for _ in range(3):
-                            batch = self.make_step_batch()
-                            self.state, metrics = self.step(self.state, batch, ramp)
+                            raw = self.make_raw_batch()
+                            scalars = {"ramp": ramp, "key": self.next_key()}
+                            self.state, metrics = self.step(
+                                self.state, raw, scalars)
                             metric_accum.append(metrics)
                     profile_dir = None
                     continue
-                batch = self.make_step_batch()
-                self.state, metrics = self.step(self.state, batch, ramp)
+                raw = self.make_raw_batch()
+                scalars = {"ramp": ramp, "key": self.next_key()}
+                self.state, metrics = self.step(self.state, raw, scalars)
                 metric_accum.append(metrics)
                 if (it + 1) % p.get("nan_check_interval", 100) == 0:
                     if common.check_nan(float(metrics["sup_loss"])):
@@ -317,54 +352,63 @@ class TrainEngine:
 
 
 # ---- unsupervised batch composers ----
+#
+# Each algorithm is a (fetch, compose) pair: ``fetch`` runs on the host each
+# iteration and returns raw loader batches; ``compose`` is traced into the
+# fused step and performs the device augmentation.
 
-def compose_mask_mix(engine: TrainEngine, streams, key):
-    k0, k1 = jax.random.split(key)
-    u0 = engine.augmentor.unsup(next(streams[0]), k0)
-    u1 = engine.augmentor.unsup(next(streams[1]), k1)
-    return dict(ux0_tea=u0["image"], ux0_stu=u0["image_stu"], um0=u0["mask"],
-                ux1_tea=u1["image"], ux1_stu=u1["image_stu"], um1=u1["mask"])
-
-
-def compose_mask_zero(engine: TrainEngine, streams, key):
-    u = engine.augmentor.unsup(next(streams[0]), key)
-    return dict(ux_tea=u["image"], ux_stu=u["image_stu"], um=u["mask"])
+def fetch_two_streams(engine: TrainEngine, streams):
+    """mask_mt mix: one batch from each of the two unsup streams."""
+    return {"u0": next(streams[0]), "u1": next(streams[1])}
 
 
-def compose_ict(engine: TrainEngine, streams, key):
+def fetch_one_stream(engine: TrainEngine, streams):
+    """mask_mt zero / VAT: a single unsup batch."""
+    return {"u": next(streams[0])}
+
+
+def fetch_ict(engine: TrainEngine, streams):
     """Two draws from ONE stream (reference: train_seg_semisup_ict.py:272-273)."""
-    k0, k1 = jax.random.split(key)
-    u0 = engine.augmentor.unsup(next(streams[0]), k0)
-    u1 = engine.augmentor.unsup(next(streams[0]), k1)
-    return dict(ux0_tea=u0["image"], ux0_stu=u0["image_stu"], um0=u0["mask"],
-                ux1_tea=u1["image"], ux1_stu=u1["image_stu"], um1=u1["mask"])
+    return {"u0": next(streams[0]), "u1": next(streams[0])}
 
 
-def compose_vat(engine: TrainEngine, streams, key):
-    u = engine.augmentor.unsup(next(streams[0]), key)
-    return dict(ux_tea=u["image"], ux_stu=u["image_stu"], um=u["mask"])
-
-
-def compose_aug_pair(engine: TrainEngine, streams, key):
-    """Paired geometry: two correlated crops of each image; the relative
-    transform xf0->1 = grid(m1 . inv(m0)) rides along
-    (reference: datapipe/seg_data.py:219-232). Colour jitter, when enabled,
-    applies to element 1 only (the student; aug_mt.py:150-158)."""
+def fetch_aug_pair(engine: TrainEngine, streams):
+    """Paired geometry: the relative transform xf0->1 = grid(m1 . inv(m0))
+    is composed on the host in float64 and rides along
+    (reference: datapipe/seg_data.py:219-232)."""
     host = next(streams[0])
-    aug = engine.augmentor
-
-    b0 = dict(host, m=host["m0"], interp=host["interp0"])
-    b1 = dict(host, m=host["m1"], interp=host["interp1"])
-    u0 = _unsup_plain(aug, b0)  # teacher element: no colour jitter
-    u1 = aug.unsup(b1, key)
-
     xf_cv = host_affine.compose(
         host["m1"].astype(np.float64),
         host_affine.invert(host["m0"].astype(np.float64)))
     xf_grid = host_affine.cv_to_grid(xf_cv, engine.crop_hw).astype(np.float32)
+    return {"pair": host, "xf_grid": xf_grid}
 
+
+def compose_mask_pair(augmentor, raw, key):
+    """mask_mt mix and ICT: augment two unsup batches (colour pair each)."""
+    k0, k1 = jax.random.split(key)
+    u0 = augmentor.unsup(raw["u0"], k0)
+    u1 = augmentor.unsup(raw["u1"], k1)
+    return dict(ux0_tea=u0["image"], ux0_stu=u0["image_stu"], um0=u0["mask"],
+                ux1_tea=u1["image"], ux1_stu=u1["image_stu"], um1=u1["mask"])
+
+
+def compose_mask_single(augmentor, raw, key):
+    """mask_mt zero (Cutout) and VAT: one augmented unsup batch."""
+    u = augmentor.unsup(raw["u"], key)
+    return dict(ux_tea=u["image"], ux_stu=u["image_stu"], um=u["mask"])
+
+
+def compose_aug_pair(augmentor, raw, key):
+    """Two correlated crops of each image; colour jitter, when enabled,
+    applies to element 1 only (the student; aug_mt.py:150-158)."""
+    host = raw["pair"]
+    b0 = dict(host, m=host["m0"], interp=host["interp0"])
+    b1 = dict(host, m=host["m1"], interp=host["interp1"])
+    u0 = _unsup_plain(augmentor, b0)  # teacher element: no colour jitter
+    u1 = augmentor.unsup(b1, key)
     return dict(ux0=u0["image"], ux1=u1["image_stu"], um0=u0["mask"],
-                um1=u1["mask"], xf0_to_1=jnp.asarray(xf_grid))
+                um1=u1["mask"], xf0_to_1=raw["xf_grid"])
 
 
 def _unsup_plain(augmentor, host_batch):

@@ -12,7 +12,12 @@ import click
 from cutmix_seg_tpu.core import job
 from cutmix_seg_tpu.semisup.ict import ICTConfig, make_ict_step
 from cutmix_seg_tpu.train.cli_common import common_options
-from cutmix_seg_tpu.train.engine import AlgorithmSpec, TrainEngine, compose_ict
+from cutmix_seg_tpu.train.engine import (
+    AlgorithmSpec,
+    TrainEngine,
+    compose_mask_pair,
+    fetch_ict,
+)
 
 
 def train_seg_semisup_ict(ctx: job.RunContext, **p):
@@ -32,7 +37,8 @@ def train_seg_semisup_ict(ctx: job.RunContext, **p):
         make_step=lambda model, tx, mesh: make_ict_step(model, tx, cfg),
         unsup_streams=1,
         pair_geom=False,
-        compose=compose_ict,
+        fetch=fetch_ict,
+        compose=compose_mask_pair,
     )
     TrainEngine(ctx, spec, cfg, p).run()
 

@@ -21,8 +21,10 @@ from cutmix_seg_tpu.train.cli_common import common_options
 from cutmix_seg_tpu.train.engine import (
     AlgorithmSpec,
     TrainEngine,
-    compose_mask_mix,
-    compose_mask_zero,
+    compose_mask_pair,
+    compose_mask_single,
+    fetch_one_stream,
+    fetch_two_streams,
 )
 
 
@@ -55,7 +57,8 @@ def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
         make_step=lambda model, tx, mesh: make_mask_mt_step(model, tx, cfg, mesh=mesh),
         unsup_streams=2 if mask_mix else 1,
         pair_geom=False,
-        compose=compose_mask_mix if mask_mix else compose_mask_zero,
+        fetch=fetch_two_streams if mask_mix else fetch_one_stream,
+        compose=compose_mask_pair if mask_mix else compose_mask_single,
     )
     TrainEngine(ctx, spec, cfg, p).run()
 

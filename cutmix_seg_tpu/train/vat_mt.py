@@ -12,7 +12,12 @@ import click
 from cutmix_seg_tpu.core import job
 from cutmix_seg_tpu.semisup.vat import VATConfig, make_vat_step
 from cutmix_seg_tpu.train.cli_common import common_options
-from cutmix_seg_tpu.train.engine import AlgorithmSpec, TrainEngine, compose_vat
+from cutmix_seg_tpu.train.engine import (
+    AlgorithmSpec,
+    TrainEngine,
+    compose_mask_single,
+    fetch_one_stream,
+)
 
 
 def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
@@ -34,7 +39,8 @@ def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
         make_step=lambda model, tx, mesh: make_vat_step(model, tx, cfg),
         unsup_streams=1,
         pair_geom=False,
-        compose=compose_vat,
+        fetch=fetch_one_stream,
+        compose=compose_mask_single,
     )
     TrainEngine(ctx, spec, cfg, p).run()
 
