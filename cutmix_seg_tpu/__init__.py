@@ -29,3 +29,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Honour JAX_PLATFORMS even when a pre-registered accelerator plugin would
+# otherwise win platform selection (on some installs the env var alone is not
+# authoritative; jax.config is). Mirrored from tests/conftest.py so the CLI
+# trainers behave the same way: `JAX_PLATFORMS=cpu python -m
+# cutmix_seg_tpu.train.mask_mt ...` really runs on CPU.
+import os as _os
+
+# Only stock platform names: experimental plugins (e.g. 'axon') register
+# through a discovery path that jax.config's validation does not know about,
+# so forcing them via config would fail where the env var works.
+if _os.environ.get("JAX_PLATFORMS") in ("cpu", "tpu", "gpu", "cuda", "rocm"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialised: leave selection alone
+        pass

@@ -88,7 +88,40 @@ def label_params_by_path(params, rules: Sequence[Tuple[str, str]], default: str 
     return jax.tree_util.tree_map_with_path(mapper, params)
 
 
-def batch_norm(use_running_average: bool, name: str, dtype=None) -> nn.BatchNorm:
+class _FastFrozenBN(nn.Module):
+    """Frozen (running-average) BatchNorm as a per-channel affine applied in
+    the compute dtype.
+
+    flax's nn.BatchNorm normalises in float32 even under dtype=bfloat16 (it
+    promotes x to the f32 parameter dtype, runs sub/mul/add full-tensor in
+    f32, and converts the result back), which on a bandwidth-bound TPU step
+    doubles the elementwise HBM traffic of every BN in the network. With
+    frozen statistics BN is a constant affine, so the channel-sized
+    gamma' = scale * rsqrt(var + eps) and beta' = bias - mean * gamma' are
+    computed in f32 (negligible) and the full-tensor multiply-add runs in the
+    compute dtype. Parameter/variable structure is identical to
+    nn.BatchNorm's ({scale, bias} params, {mean, var} batch_stats), so
+    checkpoints and the torch weight importer are unaffected.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((feat,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((feat,), jnp.float32))
+        g = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        b = bias - mean.value * g
+        return x * g.astype(self.dtype) + b.astype(self.dtype)
+
+
+def batch_norm(use_running_average: bool, name: str, dtype=None):
     """BatchNorm with torch-compatible defaults (momentum 0.1 torch == 0.9
     flax, eps 1e-5). 'Frozen' BN — the TPU equivalent of the reference's
     freeze_batchnorm() (reference: architectures/util.py:2-10) — is expressed
@@ -96,7 +129,16 @@ def batch_norm(use_running_average: bool, name: str, dtype=None) -> nn.BatchNorm
     are additionally given zero optimizer updates via the 'frozen' param label.
     When BN does train, replicated data-parallel training uses per-replica
     statistics, matching the reference's single-device batch-stat scale when
-    the per-replica batch equals the reference batch size (SURVEY.md §7)."""
+    the per-replica batch equals the reference batch size (SURVEY.md §7).
+
+    Under a low-precision compute dtype the frozen path folds to a
+    compute-dtype channel affine (_FastFrozenBN) instead of flax's
+    f32-normalise-and-round — numerically a bf16-rounding-level change, and
+    ~1.5x less elementwise HBM traffic. The f32 path keeps flax's exact
+    semantics (the torch parity tests compare at f32)."""
+    if (use_running_average and dtype is not None
+            and jnp.dtype(dtype) != jnp.float32):
+        return _FastFrozenBN(epsilon=1e-5, dtype=dtype, name=name)
     return nn.BatchNorm(
         use_running_average=use_running_average,
         momentum=0.9,
@@ -205,8 +247,19 @@ def upsample_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> 
         return x
     wy = jnp.asarray(_interp_matrix_align_corners(h, oh))
     wx = jnp.asarray(_interp_matrix_align_corners(w, ow))
-    x = jnp.einsum("oh,nhwc->nowc", wy, x.astype(jnp.float32),
-                   preferred_element_type=jnp.float32, precision="highest")
-    x = jnp.einsum("pw,nhwc->nhpc", wx, x, preferred_element_type=jnp.float32,
-                   precision="highest")
-    return x
+    if x.dtype == jnp.float32:
+        # exact torch-parity path (f32 weights, full-precision MXU passes)
+        x = jnp.einsum("oh,nhwc->nowc", wy, x,
+                       preferred_element_type=jnp.float32, precision="highest")
+        x = jnp.einsum("pw,nhwc->nhpc", wx, x,
+                       preferred_element_type=jnp.float32, precision="highest")
+        return x
+    # low-precision compute dtype: accumulate in f32, store in the compute
+    # dtype — full-resolution logits are the largest tensors in the step and
+    # every pass over them is HBM traffic; the losses upcast internally
+    dt = x.dtype
+    y = jnp.einsum("oh,nhwc->nowc", wy.astype(dt), x,
+                   preferred_element_type=jnp.float32).astype(dt)
+    y = jnp.einsum("pw,nhwc->nhpc", wx.astype(dt), y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(dt)

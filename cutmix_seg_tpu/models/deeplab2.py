@@ -90,7 +90,10 @@ class DeepLab2(nn.Module):
             dtype=self.dtype,
             name="classifier",
         )(feats)
-        return upsample_bilinear_align_corners(logits.astype(jnp.float32), in_hw)
+        # logits stay in the compute dtype (losses upcast internally); full-res
+        # logits are the step's largest tensors and f32 here doubles their HBM
+        # traffic. dtype=None keeps the exact f32 path for parity tests.
+        return upsample_bilinear_align_corners(logits, in_hw)
 
 
 def _param_label(params):

@@ -105,7 +105,7 @@ class DeepLabV3Plus(nn.Module):
         y = ConvBNReLU(256, dtype=self.dtype, name="head1")(y, use_ra)
         logits = nn.Conv(self.num_classes, (1, 1), kernel_init=he_init,
                          dtype=self.dtype, name="classifier")(y)
-        return resize_bilinear_half_pixel(logits.astype(jnp.float32), in_hw)
+        return resize_bilinear_half_pixel(logits, in_hw)
 
 
 class DeepLabV3(nn.Module):
@@ -125,7 +125,7 @@ class DeepLabV3(nn.Module):
         y = ConvBNReLU(256, dtype=self.dtype, name="head0")(y, use_ra)
         logits = nn.Conv(self.num_classes, (1, 1), kernel_init=he_init,
                          dtype=self.dtype, name="classifier")(y)
-        return resize_bilinear_half_pixel(logits.astype(jnp.float32), in_hw)
+        return resize_bilinear_half_pixel(logits, in_hw)
 
 
 def _label_imagenet(params):

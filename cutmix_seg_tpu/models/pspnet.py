@@ -90,7 +90,7 @@ class PSPNet(nn.Module):
         )(x.astype(self.dtype or x.dtype), use_ra)
         logits = PPMHead(self.num_classes, dtype=self.dtype,
                          name="decoder")(feats, train, use_ra)
-        return resize_bilinear_half_pixel(logits.astype(jnp.float32), in_hw)
+        return resize_bilinear_half_pixel(logits, in_hw)
 
 
 def _param_label(params):

@@ -67,7 +67,7 @@ class ResUNet(nn.Module):
         y = nn.relu(y)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                          name="final_clf")(y)
-        return logits.astype(jnp.float32)
+        return logits
 
 
 def _param_label_pretrained(params):
