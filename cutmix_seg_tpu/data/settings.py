@@ -25,7 +25,20 @@ def get_config() -> RawConfigParser:
     return _config
 
 
-def get_data_path(config_name: str, exists: bool = True) -> str:
+def get_data_path(config_name: str, exists: bool = True,
+                  dnnlib_template: str | None = None) -> str:
+    """Resolve a dataset path. When the optional ``dnnlib`` package is
+    importable and a template is given, the reference resolves the path from
+    the template instead of the INI file (reference: settings.py:45-49);
+    mirrored here so configs written for that flow carry over."""
+    if dnnlib_template is not None:
+        try:
+            import dnnlib
+
+            return dnnlib.submission.submit.get_path_from_template(
+                dnnlib_template)
+        except ImportError:
+            pass
     cfg = get_config()
     if not cfg.has_option("paths", config_name):
         raise RuntimeError(

@@ -63,9 +63,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with the leading axis split over 'data'."""
+    """Place a host batch pytree with the leading axis split over 'data'.
+
+    Single-process: a plain sharded device_put. Multi-host (DCN): each
+    process holds only ITS OWN slice of the global batch (the loaders draw
+    independent per-host streams), so the global array is assembled from
+    process-local data — no host ever materialises or ships the full batch.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    n_proc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_global_batch(mesh: Mesh, batch):
+    """Like shard_batch, but every process holds the FULL global batch and
+    contributes only its local slice (used by eval, where each host can decode
+    the whole validation batch cheaply and correctness requires identical
+    global content)."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    pc, pi = jax.process_count(), jax.process_index()
+
+    def put(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        assert n % pc == 0, (n, pc)
+        local = x[pi * n // pc:(pi + 1) * n // pc]
+        return jax.make_array_from_process_local_data(sh, local, x.shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def jit_sharded_step(step_fn, mesh: Mesh):

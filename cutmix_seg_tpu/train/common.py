@@ -112,13 +112,15 @@ class DeviceAugmentor:
 
 
 def _eval_raw_batch(mesh, batch):
-    """Device placement for one raw eval batch, sharded over 'data'."""
-    from cutmix_seg_tpu.parallel.mesh import shard_batch
+    """Device placement for one raw eval batch, sharded over 'data'. Every
+    host iterates the same eval indices, so in multi-host runs each process
+    contributes its local slice of the (identical) global batch."""
+    from cutmix_seg_tpu.parallel.mesh import shard_global_batch
 
-    return shard_batch(mesh, {
-        "canvas": jnp.asarray(batch["canvas"]),
-        "labels": jnp.asarray(batch["labels"]),
-        "sizes": jnp.asarray(batch["sizes"]),
+    return shard_global_batch(mesh, {
+        "canvas": batch["canvas"],
+        "labels": batch["labels"],
+        "sizes": batch["sizes"],
     })
 
 

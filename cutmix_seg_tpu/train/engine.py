@@ -184,12 +184,21 @@ class TrainEngine:
         # of the whole program.
         self.state = jax.device_put(self.state, replicated(self.mesh))
 
-        seed = p.get("seed", 0)
+        # Multi-host: each process loads only its slice of the global batch
+        # (independent per-host sample streams; shard_batch assembles the
+        # global array from process-local data over DCN).
+        n_proc = jax.process_count()
+        seed = p.get("seed", 0) + jax.process_index() * 7919
         global_batch = p["batch_size"] * self.n_data
         self.global_batch = global_batch
+        if global_batch % n_proc:
+            raise ValueError(
+                f"global batch {global_batch} not divisible by "
+                f"{n_proc} processes")
+        host_batch = global_batch // n_proc
         sup_builder = HostBatchBuilder(self.ds, self.geom, with_labels=True,
                                        n_threads=p["num_workers"])
-        self.sup_stream = train_stream(sup_builder, self.sup_ndx, global_batch,
+        self.sup_stream = train_stream(sup_builder, self.sup_ndx, host_batch,
                                        seed=seed + 10)
         self.streams = []
         self.use_cons = self.algo_cfg.cons_weight > 0.0
@@ -197,7 +206,7 @@ class TrainEngine:
             unsup_builder = HostBatchBuilder(
                 self.ds, self.geom, with_labels=False,
                 pair_geom=self.spec.pair_geom, n_threads=p["num_workers"])
-            ub = global_batch * p["unsup_batch_ratio"]
+            ub = host_batch * p["unsup_batch_ratio"]
             for si in range(self.spec.unsup_streams):
                 self.streams.append(train_stream(
                     unsup_builder, self.unsup_ndx, ub, seed=seed + 20 + si * 10))

@@ -37,8 +37,38 @@ def main():
     arr = jax.make_array_from_callback((n_global,), sh, lambda idx: glob[idx])
     total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
     assert float(total) == float(glob.sum()), float(total)
+
+    # the framework's multi-host batch assembly: per-process local slices
+    # (shard_batch) and full-copy local slicing (shard_global_batch) must
+    # both produce the expected global reduction
+    from cutmix_seg_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_global_batch,
+    )
+
+    fmesh = make_mesh()
+    pi = jax.process_index()
+    per_host = n_local  # one row per local device
+    local = (np.arange(per_host, dtype=np.float32)
+             + 100.0 * pi)[:, None] * np.ones((1, 4), np.float32)
+    b = shard_batch(fmesh, {"x": local})
+    s = jax.jit(lambda t: jnp.sum(t["x"]),
+                out_shardings=NamedSharding(fmesh, P()))(b)
+    expect = sum(float((np.arange(per_host) + 100.0 * p).sum() * 4)
+                 for p in range(2))
+    assert float(s) == expect, (float(s), expect)
+
+    full = np.arange(n_global, dtype=np.float32)[:, None] * np.ones(
+        (1, 3), np.float32)
+    g = shard_global_batch(fmesh, {"x": full})
+    s2 = jax.jit(lambda t: jnp.sum(t["x"]),
+                 out_shardings=NamedSharding(fmesh, P()))(g)
+    assert float(s2) == float(full.sum()), float(s2)
+
     print(f"DCN_OK process={jax.process_index()} devices={n_global} "
-          f"total={float(total)}", flush=True)
+          f"total={float(total)} batch_sum={float(s)} global_sum={float(s2)}",
+          flush=True)
 
 
 if __name__ == "__main__":

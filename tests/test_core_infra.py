@@ -84,3 +84,37 @@ def test_pallas_multibox_bf16():
     mix_ref = x0 * (1 - m_ref) + x1 * m_ref
     np.testing.assert_allclose(np.asarray(mix, np.float32),
                                np.asarray(mix_ref, np.float32), atol=1e-2)
+
+
+def test_settings_ini_and_dnnlib_template(monkeypatch, tmp_path):
+    """INI [paths] contract + the optional dnnlib-template fallback
+    (reference: settings.py:16-49)."""
+    import sys
+    import types
+
+    from cutmix_seg_tpu.data import settings
+
+    cfg = tmp_path / "semantic_segmentation.cfg"
+    d = tmp_path / "voc"
+    d.mkdir()
+    cfg.write_text(f"[paths]\npascal_voc = {d}\n")
+    monkeypatch.setenv("CUTMIX_SEG_CONFIG", str(cfg))
+    monkeypatch.setattr(settings, "_config", None)
+    assert settings.get_data_path("pascal_voc") == str(d)
+
+    # dnnlib absent: template ignored, INI used
+    assert settings.get_data_path(
+        "pascal_voc", dnnlib_template="<DATA>/voc") == str(d)
+
+    # dnnlib present: template resolution wins (reference: settings.py:45-49)
+    mod = types.ModuleType("dnnlib")
+    sub = types.ModuleType("dnnlib.submission")
+    subm = types.ModuleType("dnnlib.submission.submit")
+    subm.get_path_from_template = lambda t: f"/resolved/{t}"
+    sub.submit = subm
+    mod.submission = sub
+    monkeypatch.setitem(sys.modules, "dnnlib", mod)
+    monkeypatch.setitem(sys.modules, "dnnlib.submission", sub)
+    monkeypatch.setitem(sys.modules, "dnnlib.submission.submit", subm)
+    assert settings.get_data_path(
+        "pascal_voc", dnnlib_template="<DATA>/voc") == "/resolved/<DATA>/voc"
