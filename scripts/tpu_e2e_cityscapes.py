@@ -1,0 +1,117 @@
+"""End-to-end trainer exercise at real data scale on the default backend.
+
+Generates a synthetic Cityscapes-format zip at the converter's real output
+resolution (512x1024 images, x/y PNG pairs per split;
+reference: convert_cityscapes.py:8-52) and runs the full mask_mt trainer on
+it — host decode -> transfer windows -> ONE fused XLA program per iteration
+(augmentation + CutMix mean-teacher step) -> sharded EMA eval. Use this to
+measure the real pipeline (not just the resident-batch bench) on TPU:
+
+    python scripts/tpu_e2e_cityscapes.py --epochs 3 --iters 50
+
+The per-epoch wall-clock prints in the trainer's reference-format log line.
+"""
+
+import argparse
+import io
+import os
+import sys
+import tempfile
+import zipfile
+
+import numpy as np
+from PIL import Image
+
+# runnable as `python scripts/tpu_e2e_cityscapes.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _png(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_zip(path, n_train=32, n_val=8, hw=(512, 1024), seed=0):
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    ys, xs = np.mgrid[0:h, 0:w]
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        for split, n in (("train", n_train), ("val", n_val)):
+            for i in range(n):
+                # textured regions so the task is learnable: road below a
+                # wavy horizon, buildings above, a sky band
+                horizon = (h // 2 + (40 * np.sin(xs[0] / 97.0 + i)).astype(int))
+                lab = np.full((h, w), 11, np.uint8)          # building
+                lab[ys > horizon[None, :].repeat(h, 0)] = 7  # road
+                lab[: h // 4] = 23                            # sky
+                img = np.zeros((h, w, 3), np.uint8)
+                base = {7: (110, 110, 115), 11: (160, 90, 60), 23: (200, 220, 240)}
+                for cls, colour in base.items():
+                    m = lab == cls
+                    img[m] = np.asarray(colour, np.uint8)
+                img = np.clip(
+                    img.astype(np.int16) + rng.randint(-25, 25, img.shape),
+                    0, 255).astype(np.uint8)
+                zf.writestr(f"{split}/s{i:03d}_x.png", _png(img))
+                zf.writestr(f"{split}/s{i:03d}_y.png", _png(lab))
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--arch", default="resnet101_deeplab_imagenet")
+    ap.add_argument("--out", default=None, help="results root (tmp default)")
+    args = ap.parse_args()
+
+    tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
+    zip_path = os.path.join(tmp, "cityscapes_segmentation.zip")
+    print(f"generating synthetic cityscapes zip at {zip_path}...", flush=True)
+    make_zip(zip_path)
+
+    from cutmix_seg_tpu.core import job
+    from cutmix_seg_tpu.data import sources
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    orig = sources.CityscapesDataSource.__init__
+
+    def patched(self, n_val, val_rng, trainval_perm, with_void=False,
+                zip_path_arg=None):
+        orig(self, n_val, val_rng, trainval_perm, with_void,
+             zip_path_arg or zip_path)
+
+    sources.CityscapesDataSource.__init__ = patched
+
+    p = dict(
+        dataset="cityscapes", model="mean_teacher", arch=args.arch,
+        freeze_bn=True, opt_type="adam", sgd_momentum=0.9, sgd_nesterov=False,
+        sgd_weight_decay=5e-4, learning_rate=3e-5, lr_sched="none",
+        lr_step_epochs="", lr_step_gamma=0.1, lr_poly_power=0.9,
+        teacher_alpha=0.99, bin_fill_holes=False, crop_size="256,512",
+        aug_hflip=True, aug_vflip=False, aug_hvflip=False,
+        aug_scale_hung=False, aug_max_scale=1.0, aug_scale_non_uniform=False,
+        aug_rot_mag=0.0, aug_strong_colour=True, aug_colour_brightness=0.4,
+        aug_colour_contrast=0.4, aug_colour_saturation=0.4,
+        aug_colour_hue=0.1, aug_colour_prob=0.8,
+        aug_colour_greyscale_prob=0.2, mask_mode="mix", mask_prop_range="0.5",
+        boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
+        boxmask_by_size=False, boxmask_outside_bounds=False,
+        boxmask_no_invert=False, cons_loss_fn="var", cons_weight=1.0,
+        conf_thresh=0.97, conf_per_pixel=False, rampup=-1,
+        unsup_batch_ratio=1, num_epochs=args.epochs,
+        iters_per_epoch=args.iters, batch_size=args.batch_size,
+        n_sup=8, n_unsup=-1, n_val=-1, split_seed=12345, split_path=None,
+        val_seed=131, save_preds=False, save_model=False, num_workers=4,
+        compute_dtype="bfloat16", n_devices=-1, resume=False,
+        nan_check_interval=100, seed=0, no_pretrained=True,
+    )
+    job.submit("tpu_e2e_cityscapes", "run", train_seg_semisup_mask_mt, p,
+               results_root=os.path.join(tmp, "results"))
+    print(f"artifacts in {tmp}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
