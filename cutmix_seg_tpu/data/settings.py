@@ -35,10 +35,16 @@ def get_data_path(config_name: str, exists: bool = True,
         try:
             import dnnlib
 
-            return dnnlib.submission.submit.get_path_from_template(
+            path = dnnlib.submission.submit.get_path_from_template(
                 dnnlib_template)
-        except ImportError:
-            pass
+        except Exception:  # absent OR an unrelated package named dnnlib
+            path = None
+        if path is not None:
+            if exists and not os.path.exists(path):
+                raise RuntimeError(
+                    f"dnnlib template for {config_name!r} resolved to a "
+                    f"non-existent path: {path}")
+            return path
     cfg = get_config()
     if not cfg.has_option("paths", config_name):
         raise RuntimeError(

@@ -159,10 +159,15 @@ class PascalVOCDataSource(DataSource):
             fg = np.asarray(fg_class_subset)
             # valid-index pickle cache keyed by the subset string, so repeat
             # constructions skip the O(dataset) label decodes
-            # (reference: pascal_voc_dataset.py:107-124)
+            # (reference: pascal_voc_dataset.py:107-124). Deliberate fixes vs
+            # the reference: the key includes the dataset flavour (plain vs
+            # SBD-augmented have different index->image maps, so sharing one
+            # cache silently corrupts splits), and a failed write (read-only
+            # dataset mount) degrades to no caching instead of crashing.
             subset_str = "-".join(str(int(x)) for x in fg)
+            flavour = "_aug" if augmented else ""
             cache_path = os.path.join(
-                root, f"valid_images_fg_subset_{subset_str}.pkl")
+                root, f"valid_images_fg_subset_{subset_str}{flavour}.pkl")
             if os.path.exists(cache_path):
                 with open(cache_path, "rb") as f:
                     keep = pickle.load(f)
@@ -171,8 +176,11 @@ class PascalVOCDataSource(DataSource):
                 keep = [i for i in range(len(self.sample_names))
                         if set(np.unique(self._raw_labels(i))) & fg_set]
                 keep = np.array(keep)
-                with open(cache_path, "wb") as f:
-                    pickle.dump(keep, f)
+                try:
+                    with open(cache_path, "wb") as f:
+                        pickle.dump(keep, f)
+                except OSError:
+                    pass  # read-only dataset root: recompute next time
             keep = set(np.asarray(keep).tolist())
             self.train_ndx = np.array([i for i in self.train_ndx if i in keep])
             self.val_ndx = np.array([i for i in self.val_ndx if i in keep])

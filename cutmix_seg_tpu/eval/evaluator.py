@@ -45,7 +45,18 @@ def normalise_eval_batch(batch, mean, std):
     return x, y, valid
 
 
-_sharded_cache = {}
+import collections
+
+_sharded_cache = collections.OrderedDict()
+_SHARDED_CACHE_MAX = 8  # LRU bound: long-lived processes constructing many
+#                         trainers/meshes must not pin dead executables
+
+
+def _put_cache(key, f):
+    _sharded_cache[key] = f
+    _sharded_cache.move_to_end(key)
+    while len(_sharded_cache) > _SHARDED_CACHE_MAX:
+        _sharded_cache.popitem(last=False)
 
 
 def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
@@ -69,15 +80,17 @@ def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
             return confusion_matrix(pred, y, num_classes, ignore_value)
 
         f = jit_sharded_eval(eval_fn, mesh)
-        _sharded_cache[key] = f
+        _put_cache(key, f)
     return f
 
 
 def make_sharded_predict_fn(model, mean, std, mesh):
     """(model_state, raw_batch) -> (pred (N,H,W) int32, y (N,H,W) int32),
-    jitted over ``mesh`` with batch and outputs sharded on 'data'. For the
-    host-side paths that need per-sample predictions (ISIC hole filling,
-    prediction PNG export)."""
+    jitted over ``mesh`` with the batch sharded on 'data' and the outputs
+    REPLICATED: the callers (ISIC hole filling, prediction PNG export) fetch
+    per-sample arrays on the host, and in multi-host runs a data-sharded
+    output would span non-addressable devices and be unfetchable — the
+    all-gather of int32 argmaxes is cheap next to the forward."""
     from cutmix_seg_tpu.parallel.mesh import batch_sharding, replicated
 
     key = ("pred", id(model), id(mesh),
@@ -93,8 +106,8 @@ def make_sharded_predict_fn(model, mean, std, mesh):
 
         repl = replicated(mesh)
         data = batch_sharding(mesh)
-        f = jax.jit(raw, in_shardings=(repl, data), out_shardings=(data, data))
-        _sharded_cache[key] = f
+        f = jax.jit(raw, in_shardings=(repl, data), out_shardings=(repl, repl))
+        _put_cache(key, f)
     return f
 
 

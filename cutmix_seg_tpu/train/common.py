@@ -111,6 +111,13 @@ class DeviceAugmentor:
         return out
 
 
+def eval_batch_size(batch_size: int, mesh) -> int:
+    """Round the eval batch up to a multiple of the data axis so every chip
+    takes an equal slice (padding is metric-neutral: all-255 labels)."""
+    n_data = mesh.shape["data"]
+    return -(-batch_size // n_data) * n_data
+
+
 def _eval_raw_batch(mesh, batch):
     """Device placement for one raw eval batch, sharded over 'data'. Every
     host iterates the same eval indices, so in multi-host runs each process
@@ -139,8 +146,7 @@ def evaluate(model, model_state, source, indices, batch_size, mesh,
         make_sharded_predict_fn,
     )
 
-    n_data = mesh.shape["data"]
-    eval_bs = -(-batch_size // n_data) * n_data
+    eval_bs = eval_batch_size(batch_size, mesh)
     ev = EvaluatorIoU(num_classes, fill_holes=fill_holes)
 
     if fill_holes:

@@ -186,9 +186,13 @@ class TrainEngine:
 
         # Multi-host: each process loads only its slice of the global batch
         # (independent per-host sample streams; shard_batch assembles the
-        # global array from process-local data over DCN).
+        # global array from process-local data over DCN). Only the host-side
+        # STREAM seeds differ per process — jit inputs declared replicated
+        # (the colour key, ramp) must be bitwise identical on every process
+        # or GSPMD's same-value assumption breaks.
         n_proc = jax.process_count()
-        seed = p.get("seed", 0) + jax.process_index() * 7919
+        base_seed = p.get("seed", 0)
+        seed = base_seed + jax.process_index() * 7919
         global_batch = p["batch_size"] * self.n_data
         self.global_batch = global_batch
         if global_batch % n_proc:
@@ -222,7 +226,10 @@ class TrainEngine:
         if p["n_sup"] != -1:
             print(f"sup_ndx={self.sup_ndx.tolist()}")
 
-        self.colour_key = jax.random.PRNGKey(seed + 40)
+        self.colour_key = jax.random.PRNGKey(base_seed + 40)
+        # multi-host: only the lead process writes artifacts (checkpoints,
+        # metrics, exports) — every process still runs eval (collectives)
+        self.is_lead = jax.process_index() == 0
         return True
 
     # ---- batches ----
@@ -298,39 +305,43 @@ class TrainEngine:
                     conf_rate_acc, miou))
             print("-- {}".format(", ".join(f"{x:.3%}" for x in iou)))
 
-            self.ctx.log_metrics({
-                "epoch": epoch_i + 1, "sup_loss": sup_loss_acc,
-                "cons_loss": cons_loss_acc, "conf_rate": conf_rate_acc,
-                "val_miou": float(miou), "epoch_time": t2 - t1,
-                "images_per_sec":
-                    p["iters_per_epoch"] * self.global_batch / max(t2 - t1, 1e-9),
-            })
-            ckpt.save_checkpoint(self.ctx.checkpoint_dir, self.state,
-                                 int(self.state.step))
+            if self.is_lead:
+                self.ctx.log_metrics({
+                    "epoch": epoch_i + 1, "sup_loss": sup_loss_acc,
+                    "cons_loss": cons_loss_acc, "conf_rate": conf_rate_acc,
+                    "val_miou": float(miou), "epoch_time": t2 - t1,
+                    "images_per_sec":
+                        p["iters_per_epoch"] * self.global_batch
+                        / max(t2 - t1, 1e-9),
+                })
+                ckpt.save_checkpoint(self.ctx.checkpoint_dir, self.state,
+                                     int(self.state.step))
 
         self.finalise()
 
     # ---- final artifacts ----
     def finalise(self):
         p = self.p
-        if p["save_model"]:
+        if p["save_model"] and self.is_lead:
             ckpt.export_params(
                 os.path.join(self.ctx.run_dir, "model.msgpack"), self.eval_state())
 
         if p["save_preds"] or self.test_ndx is not None:
             from cutmix_seg_tpu.data.loader import eval_batches
             from cutmix_seg_tpu.eval.evaluator import make_sharded_predict_fn
-            from cutmix_seg_tpu.train.common import _eval_raw_batch
+            from cutmix_seg_tpu.train.common import _eval_raw_batch, eval_batch_size
 
             out_dir = (os.path.join(self.ctx.run_dir, "preds")
-                       if p["save_preds"] else None)
+                       if p["save_preds"] and self.is_lead else None)
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
             predict = make_sharded_predict_fn(
                 self.model, self.mean, self.std, self.mesh)
-            eval_bs = -(-p["batch_size"] // self.n_data) * self.n_data
+            eval_bs = eval_batch_size(p["batch_size"], self.mesh)
 
             def predict_over(indices, evaluator=None):
+                # every process joins the sharded forward; only the lead
+                # writes PNGs (outputs are replicated so any host can fetch)
                 for batch in eval_batches(self.ds, indices, eval_bs,
                                           self.model.block_size):
                     pred, y = predict(self.eval_state(),

@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--arch", default="resnet101_deeplab_imagenet")
     ap.add_argument("--out", default=None, help="results root (tmp default)")
+    ap.add_argument("--cons_weight", type=float, default=1.0)
+    ap.add_argument("--n_sup", type=int, default=8)
+    ap.add_argument("--conf_thresh", type=float, default=0.97)
+    ap.add_argument("--job_desc", default="run")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
@@ -99,16 +103,16 @@ def main():
         aug_colour_greyscale_prob=0.2, mask_mode="mix", mask_prop_range="0.5",
         boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
         boxmask_by_size=False, boxmask_outside_bounds=False,
-        boxmask_no_invert=False, cons_loss_fn="var", cons_weight=1.0,
-        conf_thresh=0.97, conf_per_pixel=False, rampup=-1,
+        boxmask_no_invert=False, cons_loss_fn="var", cons_weight=args.cons_weight,
+        conf_thresh=args.conf_thresh, conf_per_pixel=False, rampup=-1,
         unsup_batch_ratio=1, num_epochs=args.epochs,
         iters_per_epoch=args.iters, batch_size=args.batch_size,
-        n_sup=8, n_unsup=-1, n_val=-1, split_seed=12345, split_path=None,
+        n_sup=args.n_sup, n_unsup=-1, n_val=-1, split_seed=12345, split_path=None,
         val_seed=131, save_preds=False, save_model=False, num_workers=4,
         compute_dtype="bfloat16", n_devices=-1, resume=False,
         nan_check_interval=100, seed=0, no_pretrained=True,
     )
-    job.submit("tpu_e2e_cityscapes", "run", train_seg_semisup_mask_mt, p,
+    job.submit("tpu_e2e_cityscapes", args.job_desc, train_seg_semisup_mask_mt, p,
                results_root=os.path.join(tmp, "results"))
     print(f"artifacts in {tmp}", flush=True)
 

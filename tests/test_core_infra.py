@@ -117,4 +117,10 @@ def test_settings_ini_and_dnnlib_template(monkeypatch, tmp_path):
     monkeypatch.setitem(sys.modules, "dnnlib.submission", sub)
     monkeypatch.setitem(sys.modules, "dnnlib.submission.submit", subm)
     assert settings.get_data_path(
-        "pascal_voc", dnnlib_template="<DATA>/voc") == "/resolved/<DATA>/voc"
+        "pascal_voc", exists=False,
+        dnnlib_template="<DATA>/voc") == "/resolved/<DATA>/voc"
+    # exists validation applies to the template resolution too
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        settings.get_data_path("pascal_voc", dnnlib_template="<DATA>/voc")

@@ -137,6 +137,20 @@ def test_pascal_fg_class_subset_valid_index_cache(voc_root, monkeypatch):
     np.testing.assert_array_equal(first.val_ndx, second.val_ndx)
 
 
+def test_pascal_fg_class_subset_cache_per_flavour(voc_root):
+    """Plain and SBD-augmented flavours index different sorted name lists, so
+    they must NOT share a valid-index cache file."""
+    import os
+
+    for aug in (False, True):
+        sources.PascalVOCDataSource(
+            n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+            augmented=aug, fg_class_subset=[2], root=voc_root)
+    assert os.path.exists(os.path.join(voc_root, "valid_images_fg_subset_2.pkl"))
+    assert os.path.exists(
+        os.path.join(voc_root, "valid_images_fg_subset_2_aug.pkl"))
+
+
 def test_pascal_trainval_perm(voc_root):
     perm = np.array([6, 5, 4, 3, 2, 1, 0])
     ds = sources.PascalVOCDataSource(
