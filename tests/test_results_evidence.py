@@ -54,6 +54,22 @@ def test_toy2d_report_consistent_with_logs():
         assert f"{float(m.group(1)):.3f}%" in report, (run, m.group(1))
 
 
+def test_cityscapes_scale_pair_parses():
+    d = os.path.join(ROOT, "cityscapes_scale")
+    mious = {}
+    for run in ("semisup", "supervised"):
+        text = open(os.path.join(d, f"log_{run}.txt")).read()
+        vals = re.findall(r"VAL mIoU=([\d.]+)%", text)
+        assert len(vals) == 15, run
+        mious[run] = float(vals[-1])
+        lines = open(os.path.join(d, f"metrics_{run}.jsonl")).read().splitlines()
+        assert json.loads(lines[-1])["epoch"] == 15
+    # the task saturates (see report.md); consistency must not hurt
+    assert abs(mious["semisup"] - mious["supervised"]) < 0.5
+    report = open(os.path.join(d, "report.md")).read()
+    assert f"{mious['semisup']:.3f}%" in report
+
+
 def test_synthetic_convergence_artifact_parses():
     path = os.path.join(ROOT, "synthetic_seg_convergence.json")
     if not os.path.exists(path):
