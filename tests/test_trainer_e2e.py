@@ -230,3 +230,102 @@ def test_multi_seed_trainer_end_to_end(tiny_zip, tmp_path, monkeypatch):
     log = (tmp_path / "results" / "test_mseed" / "run1" / "log_run1.txt").read_text()
     assert "[seed 12345]" in log and "[seed 23456]" in log
     assert log.count("VAL mIoU=") == 2
+
+
+@pytest.fixture
+def isic_zip(tmp_path):
+    """Tiny ISIC-2017-format zip: {split}/{name}_x.png/_y.png + rgb stats."""
+    import io as _io
+    import pickle as _pickle
+
+    rng = np.random.RandomState(3)
+    path = tmp_path / "isic2017_segmentation.zip"
+    with zipfile.ZipFile(path, "w") as zf:
+        for split, n in (("train", 8), ("val", 4)):
+            for i in range(n):
+                img = rng.randint(0, 255, size=(48, 48, 3), dtype=np.uint8)
+                lab = np.zeros((48, 48), np.uint8)
+                cy, cx, r = rng.randint(14, 34), rng.randint(14, 34), 10
+                ys, xs = np.mgrid[0:48, 0:48]
+                lab[(ys - cy) ** 2 + (xs - cx) ** 2 <= r * r] = 255
+                img[lab == 255] = (img[lab == 255] // 2) + 90  # visible lesion
+                zf.writestr(f"{split}/im{i}_x.png", _png_bytes(img))
+                zf.writestr(f"{split}/im{i}_y.png", _png_bytes(lab))
+        zf.writestr("rgb_mean_std.pkl", _pickle.dumps(
+            {"rgb_mean": np.full(3, 0.5), "rgb_std": np.full(3, 0.25)}))
+    return str(path)
+
+
+def test_isic_recipe_trainer_end_to_end(isic_zip, tmp_path, monkeypatch):
+    """The ISIC recipe shape end-to-end: ISIC-format zip source, 2-class
+    labels (img>=127), dataset RGB stats, SGD+poly LR, h/v flips, and the
+    binary-hole-filling eval path (reference: run_isic2017_experiments.sh)."""
+    from cutmix_seg_tpu.data import sources
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    orig = sources.ISIC2017DataSource.__init__
+
+    def patched(self, n_val, val_rng, trainval_perm, zip_path=None):
+        orig(self, n_val, val_rng, trainval_perm, zip_path or isic_zip)
+
+    monkeypatch.setattr(sources.ISIC2017DataSource, "__init__", patched)
+    monkeypatch.setattr(sources.ISIC2017DataSource, "canvas_hw", (48, 48))
+
+    p = _params(
+        isic_zip, dataset="isic2017", bin_fill_holes=True, opt_type="sgd",
+        learning_rate=0.1, sgd_weight_decay=5e-4, lr_sched="poly",
+        lr_poly_power=0.9, crop_size="32,32", aug_hflip=True, aug_vflip=True,
+        aug_hvflip=True, aug_strong_colour=False, num_epochs=1,
+        iters_per_epoch=3, batch_size=2, n_sup=4, conf_thresh=0.5)
+    job.submit("test_isic", "r", train_seg_semisup_mask_mt, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_isic" / "r" / "log_r.txt").read_text()
+    assert "VAL mIoU=" in log
+    assert "FINAL TEST" not in log  # ISIC zip fixture has no test split
+
+
+def test_pascal_voc_recipe_trainer_end_to_end(tmp_path, monkeypatch):
+    """The Pascal recipe shape end-to-end: loose-file VOC source through the
+    engine (variable image sizes on canvases, n_sup head of the train perm,
+    strong colour pair) — the file-based data path the other e2e tests don't
+    touch (reference: run_pascal_aug_experiments.sh)."""
+    from PIL import Image as _Image
+
+    from cutmix_seg_tpu.data import sources
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    rng = np.random.RandomState(4)
+    root = tmp_path / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    names = [f"img{i:03d}" for i in range(10)]
+    for k, name in enumerate(names):
+        h, w = rng.randint(36, 49), rng.randint(36, 49)  # variable sizes
+        img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+        _Image.fromarray(img).save(root / "JPEGImages" / f"{name}.jpg")
+        lab = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+        _Image.fromarray(lab).save(root / "SegmentationClass" / f"{name}.png")
+    with open(root / "ImageSets" / "Segmentation" / "train.txt", "w") as f:
+        f.write("\n".join(names[:8]) + "\n")
+    with open(root / "ImageSets" / "Segmentation" / "val.txt", "w") as f:
+        f.write("\n".join(names[8:]) + "\n")
+
+    orig = sources.PascalVOCDataSource.__init__
+
+    def patched(self, n_val, val_rng, trainval_perm, augmented=False,
+                fg_class_subset=None, root_arg=None):
+        orig(self, n_val, val_rng, trainval_perm, augmented, fg_class_subset,
+             root_arg or str(root))
+
+    monkeypatch.setattr(sources.PascalVOCDataSource, "__init__", patched)
+    monkeypatch.setattr(sources.PascalVOCDataSource, "canvas_hw", (48, 48))
+
+    p = _params(
+        None, dataset="pascal", crop_size="32,32", num_epochs=1,
+        iters_per_epoch=3, batch_size=2, n_sup=4, conf_thresh=0.5)
+    job.submit("test_voc", "r", train_seg_semisup_mask_mt, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_voc" / "r" / "log_r.txt").read_text()
+    assert "VAL mIoU=" in log
+    assert "len(sup_ndx)=4" in log
