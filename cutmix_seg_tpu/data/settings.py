@@ -37,7 +37,10 @@ def get_data_path(config_name: str, exists: bool = True,
 
             path = dnnlib.submission.submit.get_path_from_template(
                 dnnlib_template)
-        except Exception:  # absent OR an unrelated package named dnnlib
+        except (ImportError, AttributeError):
+            # absent OR an unrelated package named dnnlib -> INI fallback;
+            # a real dnnlib raising on a bad template must propagate, not
+            # silently train on the INI path instead
             path = None
         if path is not None:
             if exists and not os.path.exists(path):

@@ -168,17 +168,19 @@ class PascalVOCDataSource(DataSource):
             flavour = "_aug" if augmented else ""
             cache_path = os.path.join(
                 root, f"valid_images_fg_subset_{subset_str}{flavour}.pkl")
-            if os.path.exists(cache_path):
-                with open(cache_path, "rb") as f:
-                    keep = pickle.load(f)
-            else:
+            keep = self._load_valid_index_cache(cache_path)
+            if keep is None:
                 fg_set = set(fg.tolist())
-                keep = [i for i in range(len(self.sample_names))
-                        if set(np.unique(self._raw_labels(i))) & fg_set]
-                keep = np.array(keep)
+                keep = np.array([i for i in range(len(self.sample_names))
+                                 if set(np.unique(self._raw_labels(i))) & fg_set])
                 try:
-                    with open(cache_path, "wb") as f:
-                        pickle.dump(keep, f)
+                    # atomic write: a concurrent reader or an interrupted run
+                    # must never observe a truncated pickle
+                    tmp_path = cache_path + f".tmp{os.getpid()}"
+                    with open(tmp_path, "wb") as f:
+                        pickle.dump(
+                            {"n_names": len(self.sample_names), "keep": keep}, f)
+                    os.replace(tmp_path, cache_path)
                 except OSError:
                     pass  # read-only dataset root: recompute next time
             keep = set(np.asarray(keep).tolist())
@@ -189,6 +191,24 @@ class PascalVOCDataSource(DataSource):
             class_map[fg] = np.arange(len(fg)) + 1
             class_map[255] = 255
             self.class_map = class_map
+
+    def _load_valid_index_cache(self, cache_path):
+        """Read the valid-index cache; None on absence, corruption, or a
+        stale dataset (name-list length changed since the cache was built).
+        Accepts the reference's bare-array format (no length check possible)
+        and this framework's {'n_names', 'keep'} format."""
+        if not os.path.exists(cache_path):
+            return None
+        try:
+            with open(cache_path, "rb") as f:
+                data = pickle.load(f)
+        except Exception:
+            return None  # truncated/corrupt: recompute (and rewrite)
+        if isinstance(data, dict):
+            if data.get("n_names") != len(self.sample_names):
+                return None  # dataset changed underneath the cache
+            return data["keep"]
+        return data
 
     def get_image(self, i):
         img = Image.open(self.x_paths[i])

@@ -12,9 +12,12 @@ time does not perturb the metric.
 
 from __future__ import annotations
 
+import collections
+
 import jax
 import jax.numpy as jnp
 
+from cutmix_seg_tpu.aug.device import normalise
 from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.mask_mt import apply_model
 
@@ -38,14 +41,10 @@ def normalise_eval_batch(batch, mean, std):
     valid = (
         (ys < sizes[:, 0, None, None]) & (xs < sizes[:, 1, None, None])
     ).astype(jnp.float32)[..., None]
-    mean = jnp.asarray(mean, jnp.float32)
-    std = jnp.asarray(std, jnp.float32)
-    x = (canvas.astype(jnp.float32) / 255.0 - mean * valid) / std
+    x = normalise(canvas.astype(jnp.float32), valid, mean, std)
     y = batch["labels"].astype(jnp.int32)
     return x, y, valid
 
-
-import collections
 
 _sharded_cache = collections.OrderedDict()
 _SHARDED_CACHE_MAX = 8  # LRU bound: long-lived processes constructing many
@@ -59,6 +58,13 @@ def _put_cache(key, f):
         _sharded_cache.popitem(last=False)
 
 
+def _get_cache(key):
+    f = _sharded_cache.get(key)
+    if f is not None:
+        _sharded_cache.move_to_end(key)  # true LRU: hits refresh recency
+    return f
+
+
 def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
                          ignore_value: int = 255):
     """(model_state, raw_batch) -> replicated (C, C) int32 confusion matrix,
@@ -69,7 +75,7 @@ def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
 
     key = ("cm", id(model), id(mesh), num_classes, ignore_value,
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
-    f = _sharded_cache.get(key)
+    f = _get_cache(key)
     if f is None:
         def eval_fn(model_state, batch):
             x, y, _ = normalise_eval_batch(batch, mean, std)
@@ -95,7 +101,7 @@ def make_sharded_predict_fn(model, mean, std, mesh):
 
     key = ("pred", id(model), id(mesh),
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
-    f = _sharded_cache.get(key)
+    f = _get_cache(key)
     if f is None:
         def raw(model_state, batch):
             x, y, _ = normalise_eval_batch(batch, mean, std)

@@ -118,6 +118,9 @@ class _FastFrozenBN(nn.Module):
                             lambda: jnp.ones((feat,), jnp.float32))
         g = scale * jax.lax.rsqrt(var.value + self.epsilon)
         b = bias - mean.value * g
+        # canonicalise to the compute dtype like nn.BatchNorm (an f32 input
+        # must not silently promote the affine back to f32)
+        x = x.astype(self.dtype)
         return x * g.astype(self.dtype) + b.astype(self.dtype)
 
 

@@ -134,6 +134,20 @@ class TrainEngine:
                 self.state = ckpt.restore_checkpoint(latest, self.state)
                 self.start_epoch = int(self.state.step) // max(p["iters_per_epoch"], 1)
                 print(f"Resumed from {latest} at epoch {self.start_epoch}")
+            if jax.process_count() > 1:
+                # only the lead saves checkpoints, so followers without a
+                # shared results filesystem would silently restart fresh —
+                # divergent state breaks GSPMD's replicated-input contract
+                # and mismatched epoch counts hang the collectives
+                from jax.experimental import multihost_utils
+
+                steps = multihost_utils.process_allgather(
+                    np.int64(int(self.state.step)))
+                if len(set(np.asarray(steps).tolist())) != 1:
+                    raise RuntimeError(
+                        "--resume requires every process to restore the same "
+                        f"checkpoint step; got {np.asarray(steps).tolist()} — "
+                        "use a shared results directory across hosts")
 
         self.mesh = make_mesh(
             None if p.get("n_devices", -1) == -1 else p["n_devices"])
