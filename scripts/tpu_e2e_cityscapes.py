@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--n_sup", type=int, default=8)
     ap.add_argument("--conf_thresh", type=float, default=0.97)
     ap.add_argument("--job_desc", default="run")
+    ap.add_argument("--algorithm", default="mask_mt",
+                    choices=["mask_mt", "ict", "vat_mt", "aug_mt"])
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
@@ -78,7 +80,6 @@ def main():
 
     from cutmix_seg_tpu.core import job
     from cutmix_seg_tpu.data import sources
-    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
 
     orig = sources.CityscapesDataSource.__init__
 
@@ -112,7 +113,31 @@ def main():
         compute_dtype="bfloat16", n_devices=-1, resume=False,
         nan_check_interval=100, seed=0, no_pretrained=True,
     )
-    job.submit("tpu_e2e_cityscapes", args.job_desc, train_seg_semisup_mask_mt, p,
+    if args.algorithm == "mask_mt":
+        from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
+    elif args.algorithm == "ict":
+        from cutmix_seg_tpu.train.ict import train_seg_semisup_ict as fn
+        p.update(ict_alpha=0.1)
+        for k in ("mask_mode", "mask_prop_range", "boxmask_n_boxes",
+                  "boxmask_fixed_aspect_ratio", "boxmask_by_size",
+                  "boxmask_outside_bounds", "boxmask_no_invert"):
+            p.pop(k)
+    elif args.algorithm == "vat_mt":
+        from cutmix_seg_tpu.train.vat_mt import train_seg_semisup_vat_mt as fn
+        p.update(vat_radius=0.5, adaptive_vat_radius=True,
+                 vat_dir_from_student=False)
+        for k in ("mask_mode", "mask_prop_range", "boxmask_n_boxes",
+                  "boxmask_fixed_aspect_ratio", "boxmask_by_size",
+                  "boxmask_outside_bounds", "boxmask_no_invert"):
+            p.pop(k)
+    else:
+        from cutmix_seg_tpu.train.aug_mt import train_seg_semisup_aug_mt as fn
+        p.update(aug_offset_range=16, aug_free_scale_rot=False)
+        for k in ("mask_mode", "mask_prop_range", "boxmask_n_boxes",
+                  "boxmask_fixed_aspect_ratio", "boxmask_by_size",
+                  "boxmask_outside_bounds", "boxmask_no_invert"):
+            p.pop(k)
+    job.submit("tpu_e2e_cityscapes", args.job_desc, fn, p,
                results_root=os.path.join(tmp, "results"))
     print(f"artifacts in {tmp}", flush=True)
 
