@@ -329,3 +329,42 @@ def test_pascal_voc_recipe_trainer_end_to_end(tmp_path, monkeypatch):
     log = (tmp_path / "results" / "test_voc" / "r" / "log_r.txt").read_text()
     assert "VAL mIoU=" in log
     assert "len(sup_ndx)=4" in log
+
+
+@pytest.fixture
+def camvid_zip(tmp_path):
+    """Tiny CamVid-format zip: {split}/{name}.png + {split}annot/{name}.png."""
+    rng = np.random.RandomState(5)
+    path = tmp_path / "camvid_segmentation.zip"
+    with zipfile.ZipFile(path, "w") as zf:
+        for split, n in (("train", 8), ("val", 2), ("test", 2)):
+            for i in range(n):
+                img = rng.randint(0, 255, size=(48, 48, 3), dtype=np.uint8)
+                lab = rng.randint(0, 12, size=(48, 48), dtype=np.uint8)  # 11=void
+                zf.writestr(f"{split}/f{split[0]}{i}.png", _png_bytes(img))
+                zf.writestr(f"{split}annot/f{split[0]}{i}.png", _png_bytes(lab))
+    return str(path)
+
+
+def test_camvid_trainer_end_to_end(camvid_zip, tmp_path, monkeypatch):
+    """CamVid path e2e: directory-split zip source, 11 classes with void->255,
+    median-frequency class weights, pinned mean/std, and a TEST split that
+    triggers the final test-set evaluation (reference: camvid_dataset.py)."""
+    from cutmix_seg_tpu.data import sources
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    orig = sources.CamVidDataSource.__init__
+
+    def patched(self, n_val, val_rng, trainval_perm, zip_path=None):
+        orig(self, n_val, val_rng, trainval_perm, zip_path or camvid_zip)
+
+    monkeypatch.setattr(sources.CamVidDataSource, "__init__", patched)
+    monkeypatch.setattr(sources.CamVidDataSource, "canvas_hw", (48, 48))
+
+    p = _params(None, dataset="camvid", crop_size="32,32", num_epochs=1,
+                iters_per_epoch=3, batch_size=2, n_sup=4, conf_thresh=0.5)
+    job.submit("test_camvid", "r", train_seg_semisup_mask_mt, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_camvid" / "r" / "log_r.txt").read_text()
+    assert "VAL mIoU=" in log
+    assert "FINAL TEST: mIoU=" in log  # test split present -> final test eval
