@@ -70,6 +70,19 @@ def test_cityscapes_scale_pair_parses():
     assert f"{mious['semisup']:.3f}%" in report
 
 
+def test_multi_seed_demo_artifact_parses():
+    d = os.path.join(ROOT, "multi_seed")
+    text = open(os.path.join(d, "log_run.txt")).read()
+    lines = re.findall(
+        r"Epoch (\d+) \[seed (\d+)\]: .*clf loss=([\d.]+).*VAL mIoU=([\d.]+)%",
+        text)
+    seeds = {s for _, s, _, _ in lines}
+    assert seeds == {"12345", "23456", "34567", "45678"}
+    # per-seed independence: losses differ across seeds within an epoch
+    ep1 = {s: loss for e, s, loss, _ in lines if e == "1"}
+    assert len(set(ep1.values())) > 1, ep1
+
+
 def test_synthetic_convergence_artifact_parses():
     path = os.path.join(ROOT, "synthetic_seg_convergence.json")
     if not os.path.exists(path):
