@@ -195,3 +195,112 @@ def test_densenet_import_features_parity():
         ref = tnet(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
     np.testing.assert_allclose(np.asarray(out),
                                np.transpose(ref, (0, 2, 3, 1)), atol=2e-3)
+
+
+class TorchCaffeBottleneck(nn.Module):
+    """Hung/Caffe-style bottleneck: stride on the FIRST 1x1 conv, and every
+    block of a dilated stage uses the stage dilation (reference:
+    architectures/deeplab2.py:65-128 semantics)."""
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, stride=stride, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=dilation,
+                               dilation=dilation, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchHungDeepLab(nn.Module):
+    """Reduced-depth Hung-style DeepLab v2: Caffe ResNet at output stride 8
+    (strides 1,2,1,1; dilations 1,1,2,4; ceil-mode stem pool), layer5 =
+    summed ASPP with the faithful 2-branch return-inside-loop quirk, and
+    align_corners bilinear upsampling to the input size."""
+
+    def __init__(self, num_classes=5, layers=(2, 2, 3, 2)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, 2, 1, ceil_mode=True)
+        inplanes = 64
+        for li, (n, planes, stride, dil) in enumerate(
+            zip(layers, (64, 128, 256, 512), (1, 2, 1, 1), (1, 1, 2, 4)),
+            start=1,
+        ):
+            blocks = []
+            for bi in range(n):
+                down = None
+                if bi == 0:
+                    down = nn.Sequential(
+                        nn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                                  bias=False),
+                        nn.BatchNorm2d(planes * 4))
+                blocks.append(TorchCaffeBottleneck(
+                    inplanes, planes, stride if bi == 0 else 1, dil, down))
+                inplanes = planes * 4
+            setattr(self, f"layer{li}", nn.Sequential(*blocks))
+        self.layer5 = nn.Module()
+        self.layer5.conv2d_list = nn.ModuleList([
+            nn.Conv2d(2048, num_classes, 3, padding=d, dilation=d, bias=True)
+            for d in (6, 12, 18, 24)])
+
+    def forward(self, x):
+        from torch.nn import functional as F
+
+        hw = x.shape[2:]
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(1, 5):
+            x = getattr(self, f"layer{li}")(x)
+        # the reference quirk: only branches 0 and 1 are summed
+        out = self.layer5.conv2d_list[0](x) + self.layer5.conv2d_list[1](x)
+        return F.interpolate(out, size=hw, mode="bilinear", align_corners=True)
+
+
+def test_deeplab2_style_import_full_model_parity():
+    """Full-model parity for the HEADLINE architecture's import path: Caffe
+    semantics (stride-on-conv1, full-stage dilation, ceil pool), multi-block
+    dilated stages, the Hung layer5 ASPP naming, the 2-branch quirk, and
+    align_corners upsampling — torch vs imported flax logits."""
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2
+
+    torch.manual_seed(1)
+    rng = np.random.RandomState(1)
+    tnet = TorchHungDeepLab()
+    _randomise_bn(tnet, rng)
+    tnet.eval()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params_u, stats_u = torch_import.map_torch_resnet(sd)
+    head_u = torch_import.map_hung_deeplab_classifier(sd)
+
+    model = DeepLab2(num_classes=5, layers=(2, 2, 3, 2))
+    x = rng.uniform(-1, 1, size=(2, 65, 65, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables, n1, s1 = torch_import.merge_updates(
+        variables, {"backbone": params_u}, {"backbone": stats_u})
+    variables, n2, s2 = torch_import.merge_updates(
+        variables, {"classifier": head_u}, {})
+    assert s1 == 0 and s2 == 0, (s1, s2)
+    n_expected = len([k for k in sd if not k.endswith("num_batches_tracked")])
+    assert n1 + n2 == n_expected
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        ref = tnet(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
