@@ -1,0 +1,181 @@
+"""Spatial partitioning: shard the image H axis over the mesh for
+high-resolution inference and evaluation.
+
+The reference evaluates full-resolution images one batch at a time on a single
+GPU (reference: train_seg_semisup_mask_mt.py:484-517) — resolution is capped
+by one device's memory and latency by one device's FLOPs. On a TPU mesh the
+idiomatic alternative for *large images at small batch* is to partition the
+image spatially: NHWC activations sharded on H across the 'data' axis, with
+XLA GSPMD inserting halo exchanges for the convolutions/pools and collectives
+for the bilinear-resize einsums. Nothing in the model code changes — the
+sharding annotations on the jit boundary are the whole mechanism (SURVEY.md §5
+names spatial partitioning as the spatial analogue of sequence parallelism
+for this workload).
+
+When to use which axis mapping:
+  * batch-parallel (parallel.mesh.jit_sharded_eval): batch >= n_devices —
+    best throughput, zero cross-chip activation traffic.
+  * spatial (this module): batch < n_devices or a single image too large /
+    too slow for one chip (e.g. Cityscapes 1024x2048, or the x4 original
+    resolution the converter downsamples from) — best single-image latency
+    and per-chip activation memory ~ 1/n.
+
+Halo cost intuition: at output-stride 8 a 1024-row image has 128 feature
+rows; split 8 ways each shard holds 16 rows and the deepest dilated-4 3x3
+convs exchange 4-row halos — ~25% activation overlap at the deepest layer,
+far less higher up. The exchanges ride ICI as ppermute pairs inserted by
+GSPMD.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
+from cutmix_seg_tpu.ops.iou import confusion_matrix
+from cutmix_seg_tpu.semisup.stepcore import apply_model
+
+__all__ = [
+    "spatial_sharding",
+    "pad_batch_h",
+    "jit_spatial_forward",
+    "make_spatial_predict_fn",
+    "make_spatial_eval_fn",
+]
+
+
+def spatial_sharding(mesh) -> NamedSharding:
+    """NHWC activations sharded on H over the 'data' mesh axis."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def pad_batch_h(batch, multiple: int):
+    """Pad a raw eval batch's H axis to a multiple (host-side).
+
+    JAX requires sharded dimensions to divide exactly by the mesh size, so
+    spatial callers pad H to n_devices (times the model block size). Padding
+    follows the framework's pad-to-block eval semantics — canvas rows zero,
+    label rows ignore (255), true ``sizes`` unchanged — so padded pixels are
+    excluded from the confusion matrix and zeroed by the alpha-trick
+    normalisation. As with the reference's pad-to-BLOCK_SIZE collate
+    (reference: datapipe/seg_data.py:246-278), padded context can perturb
+    predictions within a receptive field of the bottom edge; the metric
+    treatment of that edge is identical to the unpadded single-device path's
+    treatment of block padding.
+    """
+    import numpy as np
+
+    canvas, labels = np.asarray(batch["canvas"]), np.asarray(batch["labels"])
+    h = canvas.shape[1]
+    new_h = -(-h // multiple) * multiple
+    if new_h == h:
+        return batch
+    pad = new_h - h
+    canvas = np.pad(canvas, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    labels = np.pad(labels, ((0, 0), (0, pad), (0, 0)),
+                    constant_values=255)
+    out = dict(batch)
+    out["canvas"], out["labels"] = canvas, labels
+    return out
+
+
+_cache = collections.OrderedDict()
+_CACHE_MAX = 8
+
+
+def _cached(key, build):
+    f = _cache.get(key)
+    if f is None:
+        f = build()
+        _cache[key] = f
+    _cache.move_to_end(key)
+    while len(_cache) > _CACHE_MAX:
+        _cache.popitem(last=False)
+    return f
+
+
+def jit_spatial_forward(model, mesh):
+    """(model_state, x) -> logits with x NHWC sharded on H over the mesh.
+
+    ``x`` is already normalised. Logits come back H-sharded (same layout), so
+    a chain of spatial ops stays resident; fetch or re-shard explicitly at the
+    end of the chain.
+    """
+    sp = spatial_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    def build():
+        def fwd(model_state, x):
+            logits, _ = apply_model(
+                model, model_state.params, model_state.batch_stats, x,
+                train=False, freeze_bn=True)
+            return logits
+
+        return jax.jit(fwd, in_shardings=(repl, sp), out_shardings=sp)
+
+    return _cached(("fwd", id(model), id(mesh)), build)
+
+
+def make_spatial_predict_fn(model, mean, std, mesh):
+    """(model_state, raw_batch) -> (pred (N,H,W) int32, y (N,H,W) int32).
+
+    raw_batch is the evaluator's canvas/labels/sizes dict; the canvases are
+    H-sharded across the mesh, normalisation + forward + argmax run
+    spatially partitioned, and the small int32 outputs are replicated for
+    host fetch (same discipline as eval.evaluator.make_sharded_predict_fn).
+    """
+    sp_canvas = NamedSharding(mesh, P(None, "data"))
+    sp_labels = NamedSharding(mesh, P(None, "data"))
+    repl = NamedSharding(mesh, P())
+    in_batch_sh = {"canvas": sp_canvas, "labels": sp_labels, "sizes": repl}
+
+    def build():
+        def raw(model_state, batch):
+            x, y, _ = normalise_eval_batch(batch, mean, std)
+            logits, _ = apply_model(
+                model, model_state.params, model_state.batch_stats, x,
+                train=False, freeze_bn=True)
+            return jnp.argmax(logits, axis=-1), y
+
+        return jax.jit(raw, in_shardings=(repl, in_batch_sh),
+                       out_shardings=(repl, repl))
+
+    key = ("pred", id(model), id(mesh),
+           tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
+    return _cached(key, build)
+
+
+def make_spatial_eval_fn(model, num_classes, mean, std, mesh,
+                         ignore_value: int = 255):
+    """(model_state, raw_batch) -> replicated (C, C) int32 confusion matrix,
+    computed with the image H axis partitioned over the mesh.
+
+    Drop-in alternative to eval.evaluator.make_sharded_eval_fn for
+    small-batch / high-resolution validation sets: each chip computes the
+    confusion matrix of its H-slab (the slab boundary cuts between pixels, so
+    per-pixel confusion counts partition exactly) and XLA psums the (C, C)
+    accumulator — bit-identical to the single-device matrix.
+    """
+    sp = NamedSharding(mesh, P(None, "data"))
+    repl = NamedSharding(mesh, P())
+    in_batch_sh = {"canvas": sp, "labels": sp, "sizes": repl}
+
+    def build():
+        def eval_fn(model_state, batch):
+            x, y, _ = normalise_eval_batch(batch, mean, std)
+            logits, _ = apply_model(
+                model, model_state.params, model_state.batch_stats, x,
+                train=False, freeze_bn=True)
+            pred = jnp.argmax(logits, axis=-1)
+            return confusion_matrix(pred, y, num_classes, ignore_value)
+
+        return jax.jit(eval_fn, in_shardings=(repl, in_batch_sh),
+                       out_shardings=repl)
+
+    key = ("cm", id(model), id(mesh), num_classes, ignore_value,
+           tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
+    return _cached(key, build)

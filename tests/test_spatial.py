@@ -1,0 +1,143 @@
+"""Spatial partitioning (parallel/spatial.py): the image H axis sharded over
+the 8-virtual-device CPU mesh must reproduce the single-device forward —
+GSPMD's halo exchanges around the dilated convs / pools / resize einsums are
+exercised through the full DeepLab v2 stack, not toy convs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cutmix_seg_tpu.core.schedules import make_lr_schedule
+from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn, predict_fn
+from cutmix_seg_tpu.models.common import SegModel
+from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+from cutmix_seg_tpu.parallel.mesh import make_mesh
+from cutmix_seg_tpu.parallel.spatial import (
+    jit_spatial_forward,
+    make_spatial_eval_fn,
+    make_spatial_predict_fn,
+    spatial_sharding,
+)
+
+C = 5
+
+
+def tiny_model():
+    module = DeepLab2(num_classes=C, layers=(1, 1, 1, 1))
+    return SegModel(
+        name="tiny_deeplab2_spatial",
+        module=module,
+        mean=np.asarray([0.4, 0.45, 0.5]),
+        std=np.asarray([0.2, 0.25, 0.3]),
+        block_size=(1, 1),
+        param_label=_param_label,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=1e-4,
+        lr_schedule=make_lr_schedule("none", 1e-4, 10),
+    )
+    state, _ = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=False, pretrained=False,
+    )
+    mesh = make_mesh(8)
+    return model, state.student, mesh
+
+
+def _raw_batch(rng, n=2, hw=(64, 48)):
+    h, w = hw
+    canvas = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+    labels = rng.randint(0, C, size=(n, h, w)).astype(np.int32)
+    # true extents smaller than the canvas exercise the valid-mask path
+    sizes = np.array([[h, w], [h - 9, w - 5]][:n], np.int32)
+    for i, (hh, ww) in enumerate(sizes):
+        labels[i, hh:, :] = 255
+        labels[i, :, ww:] = 255
+    return {"canvas": canvas, "labels": labels, "sizes": sizes}
+
+
+def test_spatial_forward_matches_single_device(setup):
+    model, mstate, mesh = setup
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 64, 40, 3).astype(np.float32)
+
+    # single-device reference logits
+    from cutmix_seg_tpu.semisup.stepcore import apply_model
+    ref, _ = apply_model(model, mstate.params, mstate.batch_stats,
+                         jnp.asarray(x), train=False, freeze_bn=True)
+
+    fwd = jit_spatial_forward(model, mesh)
+    xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
+    out = fwd(mstate, xs)
+    assert out.sharding.spec == spatial_sharding(mesh).spec
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_predict_matches_single_device(setup):
+    model, mstate, mesh = setup
+    batch = _raw_batch(np.random.RandomState(1))
+
+    pred_sp, y_sp = make_spatial_predict_fn(
+        model, model.mean, model.std, mesh)(mstate, batch)
+
+    # single-device reference: normalise on host exactly as the evaluator does
+    from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
+    x, y, _ = jax.jit(normalise_eval_batch, static_argnums=())(
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        model.mean, model.std)
+    pred_ref = predict_fn(model, mstate, x)
+
+    np.testing.assert_array_equal(np.asarray(y_sp), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(pred_sp), np.asarray(pred_ref))
+
+
+def test_spatial_eval_cm_matches_single_device(setup):
+    model, mstate, mesh = setup
+    batch = _raw_batch(np.random.RandomState(2))
+
+    cm_sp = make_spatial_eval_fn(
+        model, C, model.mean, model.std, mesh)(mstate, batch)
+
+    from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
+    x, y, _ = normalise_eval_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        model.mean, model.std)
+    cm_ref = make_eval_cm_fn(model, C)(mstate, {"x": x, "y": y})
+
+    assert int(np.asarray(cm_sp).sum()) == int(np.asarray(cm_ref).sum())
+    np.testing.assert_array_equal(np.asarray(cm_sp), np.asarray(cm_ref))
+
+
+def test_spatial_eval_odd_height_pads_then_matches(setup):
+    """H=55 does not divide by 8: pad_batch_h aligns it and the spatial CM
+    equals the single-device CM on the same padded batch (padded label rows
+    are 255 so they never enter the matrix)."""
+    from cutmix_seg_tpu.parallel.spatial import pad_batch_h
+
+    model, mstate, mesh = setup
+    batch = _raw_batch(np.random.RandomState(3), n=2, hw=(55, 48))
+    padded = pad_batch_h(batch, 8)
+    assert padded["canvas"].shape[1] == 56
+    np.testing.assert_array_equal(padded["labels"][:, 55:], 255)
+    np.testing.assert_array_equal(padded["sizes"], batch["sizes"])
+
+    cm_sp = make_spatial_eval_fn(
+        model, C, model.mean, model.std, mesh)(mstate, padded)
+
+    from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
+    x, y, _ = normalise_eval_batch(
+        {k: jnp.asarray(v) for k, v in padded.items()},
+        model.mean, model.std)
+    cm_ref = make_eval_cm_fn(model, C)(mstate, {"x": x, "y": y})
+    np.testing.assert_array_equal(np.asarray(cm_sp), np.asarray(cm_ref))
+
+    # already-aligned batches pass through untouched (same object contents)
+    assert pad_batch_h(padded, 8)["canvas"] is padded["canvas"]
