@@ -45,6 +45,7 @@ def test_ict_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_ict_prob_mixing_semantics():
     """For a Beta(0.1, 0.1) draw, lambda is per-sample — masked blend means
     the mixed teacher probs are a convex combination, hence in [0, 1] and
@@ -73,6 +74,7 @@ def test_vat_direction_math():
     np.testing.assert_allclose(got, ((pa - pb) ** 2).sum(), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_vat_step_runs_fixed_and_adaptive():
     for adaptive in (False, True):
         cfg = VATConfig(vat_radius=0.5, adaptive_vat_radius=adaptive,
@@ -122,6 +124,7 @@ def test_aug_cons_step_runs():
     assert 0.0 <= float(metrics["conf_rate"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_aug_cons_identity_xf_zero_loss_same_images():
     """With identical pair elements and an identity relative transform, the
     teacher-in-student-frame logits equal the teacher logits, so the 'var'

@@ -74,6 +74,7 @@ def test_deeplab2_shapes_and_quirk():
     assert not np.allclose(np.asarray(y4a), np.asarray(y4b))
 
 
+@pytest.mark.slow
 def test_resunet_shapes():
     from cutmix_seg_tpu.models.resunet import ResUNet
 
@@ -189,6 +190,7 @@ def test_param_labels_deeplab2():
     assert got["backbone/layer1_0/conv1/kernel"] == "pretrained"
 
 
+@pytest.mark.slow
 def test_pspnet_shapes_and_adaptive_pool():
     from cutmix_seg_tpu.models.pspnet import PSPNet, _adaptive_avg_pool
 

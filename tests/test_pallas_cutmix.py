@@ -5,6 +5,7 @@ inside the sharded train step."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def test_cutmix_blend_sharded_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(mix), np.asarray(mix_ref))
 
 
+@pytest.mark.slow
 def test_mask_mt_step_pallas_on_sharded_matches_jnp_path():
     """mask_mt with pallas_cutmix='on' inside jit_sharded_step on the 8-device
     mesh must produce the same training trajectory as the jnp path (the mask

@@ -81,6 +81,7 @@ def test_spatial_forward_matches_single_device(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatial_predict_matches_single_device(setup):
     model, mstate, mesh = setup
     batch = _raw_batch(np.random.RandomState(1))
