@@ -1,0 +1,98 @@
+"""Serving-path benchmark: AOT-exported artifact inference throughput on TPU.
+
+Exports the flagship DeepLab v2 R101 as a serving artifact (uint8 image ->
+int32 label map, weights baked in, symbolic batch), loads it back the way a
+serving host would (jax only), and measures end-to-end inference throughput
+at several batch sizes on the real chip.
+
+Usage:
+    python scripts/serve_bench.py [--hw 321,321] [--batches 1,4,8,16]
+        [--out results_evidence/serving/serve_bench.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def note(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", default="321,321")
+    ap.add_argument("--batches", default="1,4,8,16")
+    ap.add_argument("--num_classes", type=int, default=21)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--artifact", default="/tmp/serve_bench.jaxexport")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    import jax.numpy as jnp
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+    from cutmix_seg_tpu.models.deeplab2 import resnet101_deeplab_imagenet
+    from cutmix_seg_tpu.serve.export import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    hw = tuple(int(v) for v in args.hw.split(","))
+    batches = [int(v) for v in args.batches.split(",")]
+
+    note(f"serve_bench: building model + exporting at {hw}...")
+    model = resnet101_deeplab_imagenet(
+        num_classes=args.num_classes, dtype=jnp.bfloat16, pretrained=False)
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=1e-4,
+        lr_schedule=make_lr_schedule("none", 1e-4, 10))
+    state, _ = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(65, 65),
+        mean_teacher=False, pretrained=False)
+    t0 = time.perf_counter()
+    export_serving_artifact(model, state.student, hw, args.artifact,
+                            num_classes=args.num_classes)
+    note(f"serve_bench: exported in {time.perf_counter() - t0:.1f}s "
+         f"({os.path.getsize(args.artifact) / 1e6:.1f} MB)")
+
+    call, meta = load_serving_artifact(args.artifact)
+    rng = np.random.RandomState(0)
+    results = {"hw": list(hw), "platform": jax.devices()[0].platform,
+               "artifact_mb": round(os.path.getsize(args.artifact) / 1e6, 1),
+               "batches": {}}
+    for b in batches:
+        x = rng.randint(0, 256, size=(b,) + hw + (3,)).astype(np.uint8)
+        t0 = time.perf_counter()
+        out = call(x)
+        assert int(np.asarray(out).max()) < args.num_classes
+        note(f"serve_bench: b={b} first call (compile) "
+             f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = call(x)
+        np.asarray(out)  # sync
+        dt = time.perf_counter() - t0
+        img_s = args.iters * b / dt
+        ms = 1000.0 * dt / args.iters
+        results["batches"][str(b)] = {
+            "images_per_sec": round(img_s, 1),
+            "latency_ms": round(ms, 2),
+        }
+        note(f"serve_bench: b={b}: {img_s:.1f} img/s, {ms:.2f} ms/call")
+
+    print(json.dumps(results, indent=1))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        note(f"serve_bench: wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
