@@ -75,6 +75,10 @@ def common_options(with_geom_pair_opts: bool = False):
         click.option("--profile_dir", type=click.Path(), default=None,
                      help="capture a jax.profiler trace of a few first-epoch "
                           "steps into this directory"),
+        click.option("--eval_spatial", is_flag=True, default=False,
+                     help="partition the image H axis over the mesh during "
+                          "evaluation instead of the batch axis (for "
+                          "high-res/low-batch validation; single-host)"),
         click.option("--no_pretrained", is_flag=True, default=False,
                      help="skip loading pretrained backbone weights (random "
                           "init; for machines without the weight files)"),

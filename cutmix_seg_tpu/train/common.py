@@ -132,23 +132,60 @@ def _eval_raw_batch(mesh, batch):
 
 
 def evaluate(model, model_state, source, indices, batch_size, mesh,
-             num_classes, mean, std, block_size, fill_holes=False):
+             num_classes, mean, std, block_size, fill_holes=False,
+             spatial=False):
     """Full eval pass -> per-class IoU array (reference metric semantics).
 
     One jitted program per batch (normalise + forward + confusion), sharded
     over the mesh's 'data' axis: the batch size is rounded up to a multiple of
     the axis so every chip takes an equal slice, and the confusion matrix is
     psum-reduced by XLA (eval_batches pads short batches with all-255 labels,
-    which cannot perturb the matrix)."""
+    which cannot perturb the matrix).
+
+    ``spatial=True`` partitions the image H axis over the mesh instead of the
+    batch axis (parallel/spatial.py) — the right mapping when validation
+    images are high-resolution but the eval batch is smaller than the mesh
+    (e.g. full-res Cityscapes on a pod slice). The batch is NOT rounded up;
+    image heights are padded to lcm(n_devices, block_h) with ignore labels
+    (metric-neutral, same boundary semantics as block padding)."""
     from cutmix_seg_tpu.data.loader import eval_batches
     from cutmix_seg_tpu.eval.evaluator import (
         make_sharded_eval_fn,
         make_sharded_predict_fn,
     )
 
-    eval_bs = eval_batch_size(batch_size, mesh)
     ev = EvaluatorIoU(num_classes, fill_holes=fill_holes)
 
+    if spatial:
+        if jax.process_count() != 1:
+            raise NotImplementedError(
+                "spatial eval places H-sharded global arrays; multi-host "
+                "runs use batch-parallel eval")
+        from cutmix_seg_tpu.parallel.spatial import (
+            make_spatial_eval_fn,
+            make_spatial_predict_fn,
+            pad_batch_h,
+        )
+
+        h_mult = int(np.lcm(mesh.shape["data"], block_size[0]))
+        if fill_holes:
+            predict = make_spatial_predict_fn(model, mean, std, mesh)
+            for batch in eval_batches(source, indices, batch_size, block_size):
+                b = pad_batch_h(batch, h_mult)
+                pred, y = predict(model_state, {
+                    k: b[k] for k in ("canvas", "labels", "sizes")})
+                ev.update_batch(np.asarray(pred)[: batch["count"]],
+                                np.asarray(y)[: batch["count"]])
+        else:
+            eval_fn = make_spatial_eval_fn(model, num_classes, mean, std, mesh)
+            for batch in eval_batches(source, indices, batch_size, block_size):
+                b = pad_batch_h(batch, h_mult)
+                cm = eval_fn(model_state, {
+                    k: b[k] for k in ("canvas", "labels", "sizes")})
+                ev.update_cm(np.asarray(cm))
+        return ev.score()
+
+    eval_bs = eval_batch_size(batch_size, mesh)
     if fill_holes:
         # hole filling is a host-side morphological op on the argmax
         predict = make_sharded_predict_fn(model, mean, std, mesh)

@@ -309,7 +309,8 @@ class TrainEngine:
             iou = common.evaluate(
                 self.model, self.eval_state(), self.ds, self.val_ndx,
                 p["batch_size"], self.mesh, self.n_classes, self.mean,
-                self.std, self.model.block_size, p["bin_fill_holes"])
+                self.std, self.model.block_size, p["bin_fill_holes"],
+                spatial=p.get("eval_spatial", False))
             miou = iou.mean()
             t2 = time.time()
             print(

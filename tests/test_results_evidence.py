@@ -90,3 +90,13 @@ def test_synthetic_convergence_artifact_parses():
     rec = json.loads(open(path).read().strip().splitlines()[-1])
     assert rec["cutmix_semisup_miou"] > rec["supervised_miou"], rec
     assert rec["iters"] >= 4000
+
+
+def test_serving_bench_artifact_parses():
+    path = os.path.join(ROOT, "serving", "serve_bench_321.json")
+    rec = json.load(open(path))
+    assert rec["platform"] == "tpu" and rec["hw"] == [321, 321]
+    for b, r in rec["batches"].items():
+        assert r["images_per_sec"] > 0 and r["latency_ms"] > 0
+    # single-image serving latency stays interactive on one chip
+    assert rec["batches"]["1"]["latency_ms"] < 100

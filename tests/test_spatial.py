@@ -142,3 +142,42 @@ def test_spatial_eval_odd_height_pads_then_matches(setup):
 
     # already-aligned batches pass through untouched (same object contents)
     assert pad_batch_h(padded, 8)["canvas"] is padded["canvas"]
+
+
+@pytest.mark.slow
+def test_common_evaluate_spatial_full_pass_matches_host():
+    """common.evaluate(spatial=True): a full eval pass with the H axis
+    partitioned over the 8-device mesh equals an unsharded host loop. With
+    block_size=(8,8) the loader already pads H to the mesh multiple, so both
+    paths see bit-identical inputs."""
+    from cutmix_seg_tpu.data.loader import eval_batches
+    from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch, make_eval_cm_fn
+    from cutmix_seg_tpu.ops.iou import EvaluatorIoU
+    from cutmix_seg_tpu.train import common
+    from tests.test_train_step import _FakeEvalSource
+
+    model, mstate, mesh = (tiny_model(), None, make_mesh(8))
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=1e-4,
+        lr_schedule=make_lr_schedule("none", 1e-4, 10))
+    state, _ = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(3), input_hw=(33, 33),
+        mean_teacher=False, pretrained=False)
+    mstate = state.student
+
+    src = _FakeEvalSource(n=7, num_classes=C, seed=5)
+    indices = np.arange(7)
+    mean, std = src.get_mean_std()
+
+    iou_sp = common.evaluate(
+        model, mstate, src, indices, batch_size=2, mesh=mesh,
+        num_classes=C, mean=mean, std=std, block_size=(8, 8), spatial=True)
+
+    ev = EvaluatorIoU(C)
+    cm_fn = make_eval_cm_fn(model, C)
+    for batch in eval_batches(src, indices, 3, (8, 8)):
+        x, y, _ = normalise_eval_batch(
+            {k: jnp.asarray(batch[k]) for k in ("canvas", "labels", "sizes")},
+            mean, std)
+        ev.update_cm(np.asarray(cm_fn(mstate, {"x": x, "y": y})))
+    np.testing.assert_allclose(iou_sp, ev.score())

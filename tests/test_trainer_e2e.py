@@ -368,3 +368,19 @@ def test_camvid_trainer_end_to_end(camvid_zip, tmp_path, monkeypatch):
     log = (tmp_path / "results" / "test_camvid" / "r" / "log_r.txt").read_text()
     assert "VAL mIoU=" in log
     assert "FINAL TEST: mIoU=" in log  # test split present -> final test eval
+
+
+@pytest.mark.slow
+def test_mask_mt_trainer_eval_spatial(tiny_zip, tmp_path, monkeypatch):
+    """--eval_spatial: per-epoch validation partitions the image H axis over
+    the mesh; the run completes and reports a sane mIoU."""
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    job.submit(
+        "test_mask_mt_sp", "run1", train_seg_semisup_mask_mt,
+        _params(tiny_zip, eval_spatial=True, n_devices=8, num_epochs=1),
+        results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_mask_mt_sp" / "run1"
+           / "log_run1.txt").read_text()
+    assert "Epoch 1:" in log and "VAL mIoU=" in log
