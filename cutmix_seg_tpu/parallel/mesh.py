@@ -44,12 +44,18 @@ def maybe_initialize_distributed() -> bool:
     return True
 
 
-def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh (with a trailing size-1 'model' axis)."""
+def make_mesh(n_data: Optional[int] = None, devices=None,
+              n_model: int = 1) -> Mesh:
+    """('data', 'model') mesh. Default is 1-D data parallelism (trailing
+    size-1 'model' axis); pass ``n_model > 1`` for 2-D layouts — e.g. batch
+    over 'data' with the image H axis spatially partitioned over 'model'
+    (parallel/spatial.py). Devices are laid out with 'model' minor so model
+    groups sit on adjacent (ICI-nearest) chips, where the halo-exchange
+    traffic flows."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices)
-    devs = np.asarray(devices[:n_data]).reshape(n_data, 1)
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
 
 

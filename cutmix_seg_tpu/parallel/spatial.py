@@ -40,7 +40,10 @@ from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.stepcore import apply_model
 
 __all__ = [
+    "spatial_spec",
     "spatial_sharding",
+    "spatial_h_axis_size",
+    "spatial_batch_axis_size",
     "pad_batch_h",
     "jit_spatial_forward",
     "make_spatial_predict_fn",
@@ -48,9 +51,33 @@ __all__ = [
 ]
 
 
+def spatial_spec(mesh) -> P:
+    """NHWC partition spec for spatial mode on this mesh.
+
+    1-D mesh (n_model == 1): H sharded over 'data' — every chip cooperates on
+    each image. 2-D mesh (n_model > 1): batch over 'data' AND H over 'model'
+    — throughput scaling and per-image partitioning at once (the mesh lays
+    'model' minor, so halos ride nearest-neighbour ICI links while the batch
+    axis needs no activation traffic at all)."""
+    if mesh.shape.get("model", 1) > 1:
+        return P("data", "model")
+    return P(None, "data")
+
+
 def spatial_sharding(mesh) -> NamedSharding:
-    """NHWC activations sharded on H over the 'data' mesh axis."""
-    return NamedSharding(mesh, P(None, "data"))
+    """NHWC activation sharding for spatial mode (see spatial_spec)."""
+    return NamedSharding(mesh, spatial_spec(mesh))
+
+
+def spatial_h_axis_size(mesh) -> int:
+    """Number of ways the image H axis is split in spatial mode."""
+    n_model = mesh.shape.get("model", 1)
+    return n_model if n_model > 1 else mesh.shape["data"]
+
+
+def spatial_batch_axis_size(mesh) -> int:
+    """Number of ways the batch axis is split in spatial mode."""
+    return mesh.shape["data"] if mesh.shape.get("model", 1) > 1 else 1
 
 
 def pad_batch_h(batch, multiple: int):
@@ -124,14 +151,14 @@ def make_spatial_predict_fn(model, mean, std, mesh):
     """(model_state, raw_batch) -> (pred (N,H,W) int32, y (N,H,W) int32).
 
     raw_batch is the evaluator's canvas/labels/sizes dict; the canvases are
-    H-sharded across the mesh, normalisation + forward + argmax run
-    spatially partitioned, and the small int32 outputs are replicated for
-    host fetch (same discipline as eval.evaluator.make_sharded_predict_fn).
+    H-sharded across the mesh (plus batch-sharded on 2-D meshes),
+    normalisation + forward + argmax run spatially partitioned, and the
+    small int32 outputs are replicated for host fetch (same discipline as
+    eval.evaluator.make_sharded_predict_fn).
     """
-    sp_canvas = NamedSharding(mesh, P(None, "data"))
-    sp_labels = NamedSharding(mesh, P(None, "data"))
+    sp = spatial_sharding(mesh)
     repl = NamedSharding(mesh, P())
-    in_batch_sh = {"canvas": sp_canvas, "labels": sp_labels, "sizes": repl}
+    in_batch_sh = {"canvas": sp, "labels": sp, "sizes": repl}
 
     def build():
         def raw(model_state, batch):
@@ -156,11 +183,11 @@ def make_spatial_eval_fn(model, num_classes, mean, std, mesh,
 
     Drop-in alternative to eval.evaluator.make_sharded_eval_fn for
     small-batch / high-resolution validation sets: each chip computes the
-    confusion matrix of its H-slab (the slab boundary cuts between pixels, so
+    confusion matrix of its slab (slab boundaries cut between pixels, so
     per-pixel confusion counts partition exactly) and XLA psums the (C, C)
     accumulator — bit-identical to the single-device matrix.
     """
-    sp = NamedSharding(mesh, P(None, "data"))
+    sp = spatial_sharding(mesh)
     repl = NamedSharding(mesh, P())
     in_batch_sh = {"canvas": sp, "labels": sp, "sizes": repl}
 

@@ -165,9 +165,14 @@ def evaluate(model, model_state, source, indices, batch_size, mesh,
             make_spatial_eval_fn,
             make_spatial_predict_fn,
             pad_batch_h,
+            spatial_batch_axis_size,
+            spatial_h_axis_size,
         )
 
-        h_mult = int(np.lcm(mesh.shape["data"], block_size[0]))
+        h_mult = int(np.lcm(spatial_h_axis_size(mesh), block_size[0]))
+        # 2-D meshes also shard the batch axis: round the batch up to it
+        n_b = spatial_batch_axis_size(mesh)
+        batch_size = -(-batch_size // n_b) * n_b
         if fill_holes:
             predict = make_spatial_predict_fn(model, mean, std, mesh)
             for batch in eval_batches(source, indices, batch_size, block_size):

@@ -32,30 +32,89 @@ def _png(arr):
     return buf.getvalue()
 
 
-def make_zip(path, n_train=32, n_val=8, hw=(512, 1024), seed=0):
+def make_zip(path, n_train=32, n_val=8, hw=(512, 1024), seed=0, task="easy"):
     rng = np.random.RandomState(seed)
     h, w = hw
     ys, xs = np.mgrid[0:h, 0:w]
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
         for split, n in (("train", n_train), ("val", n_val)):
             for i in range(n):
-                # textured regions so the task is learnable: road below a
-                # wavy horizon, buildings above, a sky band
-                horizon = (h // 2 + (40 * np.sin(xs[0] / 97.0 + i)).astype(int))
-                lab = np.full((h, w), 11, np.uint8)          # building
-                lab[ys > horizon[None, :].repeat(h, 0)] = 7  # road
-                lab[: h // 4] = 23                            # sky
-                img = np.zeros((h, w, 3), np.uint8)
-                base = {7: (110, 110, 115), 11: (160, 90, 60), 23: (200, 220, 240)}
-                for cls, colour in base.items():
-                    m = lab == cls
-                    img[m] = np.asarray(colour, np.uint8)
-                img = np.clip(
-                    img.astype(np.int16) + rng.randint(-25, 25, img.shape),
-                    0, 255).astype(np.uint8)
+                if task == "easy":
+                    img, lab = _easy_scene(rng, h, w, ys, xs, i)
+                else:
+                    img, lab = _hard_scene(rng, h, w, ys, xs)
                 zf.writestr(f"{split}/s{i:03d}_x.png", _png(img))
                 zf.writestr(f"{split}/s{i:03d}_y.png", _png(lab))
     return path
+
+
+def _easy_scene(rng, h, w, ys, xs, i):
+    # textured regions so the task is learnable: road below a wavy horizon,
+    # buildings above, a sky band (saturates with very few labels — use
+    # task='hard' for semisup-gain experiments)
+    horizon = (h // 2 + (40 * np.sin(xs[0] / 97.0 + i)).astype(int))
+    lab = np.full((h, w), 11, np.uint8)          # building
+    lab[ys > horizon[None, :].repeat(h, 0)] = 7  # road
+    lab[: h // 4] = 23                            # sky
+    img = np.zeros((h, w, 3), np.uint8)
+    base = {7: (110, 110, 115), 11: (160, 90, 60), 23: (200, 220, 240)}
+    for cls, colour in base.items():
+        m = lab == cls
+        img[m] = np.asarray(colour, np.uint8)
+    img = np.clip(
+        img.astype(np.int16) + rng.randint(-25, 25, img.shape),
+        0, 255).astype(np.uint8)
+    return img, lab
+
+
+# 8 non-void cityscapes label ids with per-class base colours chosen CLOSE
+# together so class identity needs shape+texture, not a colour lookup —
+# leaves real headroom for the consistency signal at small n_sup
+_HARD_CLASSES = [
+    (7, (120, 110, 105)),    # road
+    (8, (135, 120, 110)),    # sidewalk
+    (11, (110, 120, 130)),   # building
+    (21, (105, 130, 110)),   # vegetation
+    (23, (130, 130, 120)),   # sky
+    (24, (125, 105, 120)),   # person
+    (26, (115, 115, 140)),   # car
+    (33, (140, 125, 125)),   # bicycle
+]
+
+
+def _hard_scene(rng, h, w, ys, xs):
+    """Cluttered multi-class scene: overlapping ellipses/boxes/stripes of 8
+    classes whose colours nearly overlap, plus per-image global colour shift,
+    per-region jitter and pixel noise. A supervised model with 2-4 labelled
+    images underfits minority classes; the unlabelled set carries the
+    class-shape distribution."""
+    bg_cls, bg_col = _HARD_CLASSES[0]
+    shift = rng.randint(-18, 18, size=3)
+    img = np.clip(np.asarray(bg_col) + shift
+                  + rng.normal(0, 6, size=(h, w, 3)), 0, 255)
+    lab = np.full((h, w), bg_cls, np.uint8)
+    for _ in range(rng.randint(18, 28)):
+        cls, col = _HARD_CLASSES[rng.randint(1, len(_HARD_CLASSES))]
+        kind = rng.randint(3)
+        if kind == 0:  # ellipse
+            cy, cx = rng.randint(0, h), rng.randint(0, w)
+            ry, rx = rng.randint(20, h // 4), rng.randint(20, w // 6)
+            m = ((ys - cy) / ry) ** 2 + ((xs - cx) / rx) ** 2 <= 1.0
+        elif kind == 1:  # box
+            y0, x0 = rng.randint(0, h - 32), rng.randint(0, w - 32)
+            hh, ww = rng.randint(30, h // 3), rng.randint(30, w // 4)
+            m = (ys >= y0) & (ys < y0 + hh) & (xs >= x0) & (xs < x0 + ww)
+        else:  # diagonal stripe
+            c = rng.randint(-w, h + w)
+            t = rng.randint(12, 50)
+            s = rng.choice([-1, 1])
+            m = np.abs(ys + s * xs - c) < t
+        region_col = (np.asarray(col) + shift
+                      + rng.randint(-10, 10, size=3))
+        img[m] = np.clip(region_col + rng.normal(0, 6, size=(int(m.sum()), 3)),
+                         0, 255)
+        lab[m] = cls
+    return img.astype(np.uint8), lab
 
 
 def main():
@@ -71,12 +130,16 @@ def main():
     ap.add_argument("--job_desc", default="run")
     ap.add_argument("--algorithm", default="mask_mt",
                     choices=["mask_mt", "ict", "vat_mt", "aug_mt"])
+    ap.add_argument("--task", default="easy", choices=["easy", "hard"],
+                    help="'easy' saturates quickly (pipeline exercise); "
+                         "'hard' leaves semisup headroom (gain experiments)")
+    ap.add_argument("--n_train", type=int, default=32)
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
     zip_path = os.path.join(tmp, "cityscapes_segmentation.zip")
     print(f"generating synthetic cityscapes zip at {zip_path}...", flush=True)
-    make_zip(zip_path)
+    make_zip(zip_path, n_train=args.n_train, task=args.task)
 
     from cutmix_seg_tpu.core import job
     from cutmix_seg_tpu.data import sources

@@ -56,7 +56,9 @@ def _raw_batch(rng, n=2, hw=(64, 48)):
     canvas = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
     labels = rng.randint(0, C, size=(n, h, w)).astype(np.int32)
     # true extents smaller than the canvas exercise the valid-mask path
-    sizes = np.array([[h, w], [h - 9, w - 5]][:n], np.int32)
+    sizes = np.array(
+        [[h, w]] + [[h - 1 - (i * 3) % 9, w - 1 - (i * 2) % 5]
+                    for i in range(n - 1)], np.int32)
     for i, (hh, ww) in enumerate(sizes):
         labels[i, hh:, :] = 255
         labels[i, :, ww:] = 255
@@ -181,3 +183,33 @@ def test_common_evaluate_spatial_full_pass_matches_host():
             mean, std)
         ev.update_cm(np.asarray(cm_fn(mstate, {"x": x, "y": y})))
     np.testing.assert_allclose(iou_sp, ev.score())
+
+
+def test_spatial_2d_mesh_batch_plus_h(setup):
+    """2-D mesh (data=4, model=2): batch sharded over 'data' AND H over
+    'model' — the confusion matrix still equals the single-device result."""
+    model, mstate, _ = setup
+    mesh2 = make_mesh(4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+    from cutmix_seg_tpu.parallel.spatial import (
+        spatial_batch_axis_size,
+        spatial_h_axis_size,
+        spatial_spec,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    assert spatial_spec(mesh2) == P("data", "model")
+    assert spatial_h_axis_size(mesh2) == 2
+    assert spatial_batch_axis_size(mesh2) == 4
+
+    batch = _raw_batch(np.random.RandomState(7), n=4, hw=(32, 40))
+    cm_sp = make_spatial_eval_fn(
+        model, C, model.mean, model.std, mesh2)(mstate, batch)
+
+    from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
+    x, y, _ = normalise_eval_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        model.mean, model.std)
+    cm_ref = make_eval_cm_fn(model, C)(mstate, {"x": x, "y": y})
+    np.testing.assert_array_equal(np.asarray(cm_sp), np.asarray(cm_ref))
