@@ -12,14 +12,13 @@ time does not perturb the metric.
 
 from __future__ import annotations
 
-import collections
-
 import jax
 import jax.numpy as jnp
 
 from cutmix_seg_tpu.aug.device import normalise
 from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.mask_mt import apply_model
+from cutmix_seg_tpu.utils.fn_cache import FnCache
 
 
 def normalise_eval_batch(batch, mean, std):
@@ -46,23 +45,7 @@ def normalise_eval_batch(batch, mean, std):
     return x, y, valid
 
 
-_sharded_cache = collections.OrderedDict()
-_SHARDED_CACHE_MAX = 8  # LRU bound: long-lived processes constructing many
-#                         trainers/meshes must not pin dead executables
-
-
-def _put_cache(key, f):
-    _sharded_cache[key] = f
-    _sharded_cache.move_to_end(key)
-    while len(_sharded_cache) > _SHARDED_CACHE_MAX:
-        _sharded_cache.popitem(last=False)
-
-
-def _get_cache(key):
-    f = _sharded_cache.get(key)
-    if f is not None:
-        _sharded_cache.move_to_end(key)  # true LRU: hits refresh recency
-    return f
+_sharded_cache = FnCache(max_size=8)
 
 
 def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
@@ -75,8 +58,8 @@ def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
 
     key = ("cm", id(model), id(mesh), num_classes, ignore_value,
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
-    f = _get_cache(key)
-    if f is None:
+
+    def build():
         def eval_fn(model_state, batch):
             x, y, _ = normalise_eval_batch(batch, mean, std)
             logits, _ = apply_model(
@@ -85,9 +68,9 @@ def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
             pred = jnp.argmax(logits, axis=-1)
             return confusion_matrix(pred, y, num_classes, ignore_value)
 
-        f = jit_sharded_eval(eval_fn, mesh)
-        _put_cache(key, f)
-    return f
+        return jit_sharded_eval(eval_fn, mesh)
+
+    return _sharded_cache.get_or_build(key, build)
 
 
 def make_sharded_predict_fn(model, mean, std, mesh):
@@ -101,8 +84,8 @@ def make_sharded_predict_fn(model, mean, std, mesh):
 
     key = ("pred", id(model), id(mesh),
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
-    f = _get_cache(key)
-    if f is None:
+
+    def build():
         def raw(model_state, batch):
             x, y, _ = normalise_eval_batch(batch, mean, std)
             logits, _ = apply_model(
@@ -112,9 +95,10 @@ def make_sharded_predict_fn(model, mean, std, mesh):
 
         repl = replicated(mesh)
         data = batch_sharding(mesh)
-        f = jax.jit(raw, in_shardings=(repl, data), out_shardings=(repl, repl))
-        _put_cache(key, f)
-    return f
+        return jax.jit(raw, in_shardings=(repl, data),
+                       out_shardings=(repl, repl))
+
+    return _sharded_cache.get_or_build(key, build)
 
 
 def make_eval_cm_fn(model, num_classes: int, ignore_value: int = 255,

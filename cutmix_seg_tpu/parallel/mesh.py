@@ -53,8 +53,18 @@ def make_mesh(n_data: Optional[int] = None, devices=None,
     groups sit on adjacent (ICI-nearest) chips, where the halo-exchange
     traffic flows."""
     devices = devices if devices is not None else jax.devices()
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
+        if len(devices) % n_model != 0:
+            raise ValueError(
+                f"n_model={n_model} does not divide the device count "
+                f"({len(devices)}); pass n_data explicitly to use a subset")
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices) or n_data < 1:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}")
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
 

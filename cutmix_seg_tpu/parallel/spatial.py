@@ -29,8 +29,6 @@ GSPMD.
 
 from __future__ import annotations
 
-import collections
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -38,6 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
 from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.stepcore import apply_model
+from cutmix_seg_tpu.utils.fn_cache import FnCache
 
 __all__ = [
     "spatial_spec",
@@ -110,19 +109,8 @@ def pad_batch_h(batch, multiple: int):
     return out
 
 
-_cache = collections.OrderedDict()
-_CACHE_MAX = 8
-
-
-def _cached(key, build):
-    f = _cache.get(key)
-    if f is None:
-        f = build()
-        _cache[key] = f
-    _cache.move_to_end(key)
-    while len(_cache) > _CACHE_MAX:
-        _cache.popitem(last=False)
-    return f
+_cache = FnCache(max_size=8)
+_cached = _cache.get_or_build
 
 
 def jit_spatial_forward(model, mesh):

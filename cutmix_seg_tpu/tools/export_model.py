@@ -47,7 +47,12 @@ def main(arch, num_classes, params_path, hw, out_path, output, platforms, dtype)
     model = registry.get(arch)(
         num_classes, dtype=getattr(jnp, dtype), pretrained=False)
 
-    variables = model.init(jax.random.PRNGKey(0), input_hw=(h, w))
+    # init at a small block-aligned size: parameter shapes are spatial-size
+    # independent for these FCNs, and a full-res init would materialise
+    # deployment-resolution activations just to build a template
+    bh, bw = model.block_size
+    init_hw = (-(-64 // bh) * bh, -(-64 // bw) * bw)
+    variables = model.init(jax.random.PRNGKey(0), input_hw=init_hw)
     template = ModelState(params=variables["params"],
                           batch_stats=variables.get("batch_stats", {}))
     if params_path is not None:

@@ -85,6 +85,11 @@ class TrainEngine:
         if maybe_initialize_distributed():
             print(f"Multi-host: process {jax.process_index()} of "
                   f"{jax.process_count()}, {jax.device_count()} devices")
+        if p.get("eval_spatial") and jax.process_count() != 1:
+            # fail at startup, not after the first training epoch
+            raise ValueError(
+                "--eval_spatial places H-sharded global arrays and is "
+                "single-host only; use batch-parallel eval on pods")
         self.crop_hw = common.parse_crop_size(p["crop_size"])
         if self.crop_hw is None:
             raise ValueError("the TPU pipeline requires a crop_size (static shapes)")
@@ -350,17 +355,42 @@ class TrainEngine:
                        if p["save_preds"] and self.is_lead else None)
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
-            predict = make_sharded_predict_fn(
-                self.model, self.mean, self.std, self.mesh)
-            eval_bs = eval_batch_size(p["batch_size"], self.mesh)
+            if p.get("eval_spatial", False):
+                # --eval_spatial runs exist because batch-parallel full-res
+                # forwards don't fit / don't pay; the final test eval and
+                # prediction export must honour it too
+                from cutmix_seg_tpu.parallel.spatial import (
+                    make_spatial_predict_fn,
+                    pad_batch_h,
+                    spatial_batch_axis_size,
+                    spatial_h_axis_size,
+                )
+
+                sp_predict = make_spatial_predict_fn(
+                    self.model, self.mean, self.std, self.mesh)
+                h_mult = int(np.lcm(spatial_h_axis_size(self.mesh),
+                                    self.model.block_size[0]))
+                n_b = spatial_batch_axis_size(self.mesh)
+                eval_bs = -(-p["batch_size"] // n_b) * n_b
+
+                def predict(state, batch):
+                    b = pad_batch_h(batch, h_mult)
+                    return sp_predict(state, {
+                        k: b[k] for k in ("canvas", "labels", "sizes")})
+
+                place = lambda b: b  # spatial fns place host arrays themselves
+            else:
+                predict = make_sharded_predict_fn(
+                    self.model, self.mean, self.std, self.mesh)
+                eval_bs = eval_batch_size(p["batch_size"], self.mesh)
+                place = lambda b: _eval_raw_batch(self.mesh, b)
 
             def predict_over(indices, evaluator=None):
                 # every process joins the sharded forward; only the lead
                 # writes PNGs (outputs are replicated so any host can fetch)
                 for batch in eval_batches(self.ds, indices, eval_bs,
                                           self.model.block_size):
-                    pred, y = predict(self.eval_state(),
-                                      _eval_raw_batch(self.mesh, batch))
+                    pred, y = predict(self.eval_state(), place(batch))
                     pred, y = np.asarray(pred), np.asarray(y)
                     for k in range(batch["count"]):
                         i = int(batch["indices"][k])

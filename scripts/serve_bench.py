@@ -88,7 +88,9 @@ def main():
 
     print(json.dumps(results, indent=1))
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        out_dir = os.path.dirname(args.out)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         note(f"serve_bench: wrote {args.out}")

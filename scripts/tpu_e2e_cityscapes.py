@@ -98,11 +98,13 @@ def _hard_scene(rng, h, w, ys, xs):
         kind = rng.randint(3)
         if kind == 0:  # ellipse
             cy, cx = rng.randint(0, h), rng.randint(0, w)
-            ry, rx = rng.randint(20, h // 4), rng.randint(20, w // 6)
+            ry = rng.randint(h // 8 + 1, max(h // 4, h // 8 + 2))
+            rx = rng.randint(w // 8 + 1, max(w // 6, w // 8 + 2))
             m = ((ys - cy) / ry) ** 2 + ((xs - cx) / rx) ** 2 <= 1.0
         elif kind == 1:  # box
-            y0, x0 = rng.randint(0, h - 32), rng.randint(0, w - 32)
-            hh, ww = rng.randint(30, h // 3), rng.randint(30, w // 4)
+            y0, x0 = rng.randint(0, max(h - 32, 1)), rng.randint(0, max(w - 32, 1))
+            hh = rng.randint(h // 8 + 1, max(h // 3, h // 8 + 2))
+            ww = rng.randint(w // 8 + 1, max(w // 4, w // 8 + 2))
             m = (ys >= y0) & (ys < y0 + hh) & (xs >= x0) & (xs < x0 + ww)
         else:  # diagonal stripe
             c = rng.randint(-w, h + w)
@@ -137,6 +139,7 @@ def main():
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
+    os.makedirs(tmp, exist_ok=True)
     zip_path = os.path.join(tmp, "cityscapes_segmentation.zip")
     print(f"generating synthetic cityscapes zip at {zip_path}...", flush=True)
     make_zip(zip_path, n_train=args.n_train, task=args.task)
