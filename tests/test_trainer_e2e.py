@@ -379,8 +379,11 @@ def test_mask_mt_trainer_eval_spatial(tiny_zip, tmp_path, monkeypatch):
     _patch_zip(monkeypatch, tiny_zip)
     job.submit(
         "test_mask_mt_sp", "run1", train_seg_semisup_mask_mt,
-        _params(tiny_zip, eval_spatial=True, n_devices=8, num_epochs=1),
+        _params(tiny_zip, eval_spatial=True, n_devices=8, num_epochs=1,
+                save_preds=True),
         results_root=str(tmp_path / "results"))
-    log = (tmp_path / "results" / "test_mask_mt_sp" / "run1"
-           / "log_run1.txt").read_text()
+    run_dir = tmp_path / "results" / "test_mask_mt_sp" / "run1"
+    log = (run_dir / "log_run1.txt").read_text()
     assert "Epoch 1:" in log and "VAL mIoU=" in log
+    # finalise() prediction export also goes through the spatial path
+    assert len(os.listdir(run_dir / "preds")) > 0
