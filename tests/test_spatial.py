@@ -213,3 +213,18 @@ def test_spatial_2d_mesh_batch_plus_h(setup):
         model.mean, model.std)
     cm_ref = make_eval_cm_fn(model, C)(mstate, {"x": x, "y": y})
     np.testing.assert_array_equal(np.asarray(cm_sp), np.asarray(cm_ref))
+
+
+def test_make_mesh_validation():
+    from cutmix_seg_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError):
+        make_mesh(n_model=3)          # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        make_mesh(n_model=16)         # more model shards than devices
+    with pytest.raises(ValueError):
+        make_mesh(5, n_model=2)       # 10 > 8 devices
+    with pytest.raises(ValueError):
+        make_mesh(n_model=0)
+    assert dict(make_mesh(n_model=2).shape) == {"data": 4, "model": 2}
+    assert dict(make_mesh(3).shape) == {"data": 3, "model": 1}
