@@ -136,6 +136,10 @@ def main():
                     help="'easy' saturates quickly (pipeline exercise); "
                          "'hard' leaves semisup headroom (gain experiments)")
     ap.add_argument("--n_train", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-5,
+                    help="paper recipe default; raise for random-init "
+                         "convergence experiments")
+    ap.add_argument("--rampup", type=int, default=-1)
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
@@ -159,7 +163,7 @@ def main():
     p = dict(
         dataset="cityscapes", model="mean_teacher", arch=args.arch,
         freeze_bn=True, opt_type="adam", sgd_momentum=0.9, sgd_nesterov=False,
-        sgd_weight_decay=5e-4, learning_rate=3e-5, lr_sched="none",
+        sgd_weight_decay=5e-4, learning_rate=args.lr, lr_sched="none",
         lr_step_epochs="", lr_step_gamma=0.1, lr_poly_power=0.9,
         teacher_alpha=0.99, bin_fill_holes=False, crop_size="256,512",
         aug_hflip=True, aug_vflip=False, aug_hvflip=False,
@@ -171,7 +175,7 @@ def main():
         boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
         boxmask_by_size=False, boxmask_outside_bounds=False,
         boxmask_no_invert=False, cons_loss_fn="var", cons_weight=args.cons_weight,
-        conf_thresh=args.conf_thresh, conf_per_pixel=False, rampup=-1,
+        conf_thresh=args.conf_thresh, conf_per_pixel=False, rampup=args.rampup,
         unsup_batch_ratio=1, num_epochs=args.epochs,
         iters_per_epoch=args.iters, batch_size=args.batch_size,
         n_sup=args.n_sup, n_unsup=-1, n_val=-1, split_seed=12345, split_path=None,

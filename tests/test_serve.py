@@ -116,3 +116,55 @@ def test_export_cli_with_saved_params(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(call(x)), np.asarray(ref))
     with open(out_path + ".json") as f:
         assert json.load(f)["model"] == "tiny_deeplab2_serve"
+
+
+def test_http_serving_host_roundtrip(tmp_path):
+    """The std-lib HTTP host (scripts/serve_http.py) serves an exported
+    artifact: /healthz returns the metadata, /predict maps PNG -> label PNG
+    matching the in-framework forward."""
+    import importlib.util
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_http", os.path.join(os.path.dirname(__file__), "..",
+                                   "scripts", "serve_http.py"))
+    serve_http = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_http)
+
+    model = tiny_model()
+    mstate = _state(model)
+    path = str(tmp_path / "t.jaxexport")
+    export_serving_artifact(model, mstate, (33, 33), path, num_classes=C,
+                            platforms=("cpu",))
+    call, meta = load_serving_artifact(path)
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_http.make_handler(call, meta))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            got_meta = json.loads(r.read())
+        assert got_meta["input_hw"] == [33, 33]
+
+        x = np.random.RandomState(3).randint(
+            0, 256, size=(33, 33, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(x).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            pred_png = r.read()
+        pred = np.asarray(Image.open(io.BytesIO(pred_png)))
+        ref = np.asarray(make_serving_fn(model, mstate)(
+            jnp.asarray(x[None])))[0]
+        np.testing.assert_array_equal(pred, ref.astype(np.uint8))
+    finally:
+        server.shutdown()
