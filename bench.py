@@ -41,6 +41,13 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from cutmix_seg_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    cache_dir = enable_persistent_compilation_cache()
+    note(f"bench: persistent compilation cache at {cache_dir}")
+
     from cutmix_seg_tpu.core.schedules import make_lr_schedule
     from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
     from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig

@@ -81,6 +81,13 @@ class TrainEngine:
     # ---- construction ----
     def setup(self):
         p = self.p
+        # persistent XLA cache: relaunches of the same recipe skip the
+        # multi-minute train-step compile entirely
+        from cutmix_seg_tpu.utils.compile_cache import (
+            enable_persistent_compilation_cache,
+        )
+
+        enable_persistent_compilation_cache()
         # must run before anything touches devices so the backend spans the pod
         if maybe_initialize_distributed():
             print(f"Multi-host: process {jax.process_index()} of "

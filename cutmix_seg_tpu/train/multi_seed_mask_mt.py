@@ -42,6 +42,11 @@ from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
 
 
 def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
+    from cutmix_seg_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     seeds = [int(s.strip()) for s in p["parallel_split_seeds"].split(",")]
     K = len(seeds)
     crop_hw = common.parse_crop_size(p["crop_size"])
