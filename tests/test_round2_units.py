@@ -100,3 +100,24 @@ def test_profiler_trace_writes_artifacts(tmp_path):
 
     with trace(None):  # no-op path
         pass
+
+
+def test_compile_cache_env_precedence(tmp_path, monkeypatch):
+    from cutmix_seg_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    # kill switch wins
+    monkeypatch.setenv("CUTMIX_SEG_NO_COMPILATION_CACHE", "1")
+    assert enable_persistent_compilation_cache(str(tmp_path / "a")) is None
+    monkeypatch.delenv("CUTMIX_SEG_NO_COMPILATION_CACHE")
+
+    # standard jax knob wins over the explicit arg
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jaxdir"))
+    got = enable_persistent_compilation_cache(str(tmp_path / "b"))
+    assert got == str(tmp_path / "jaxdir") and os.path.isdir(got)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+
+    # explicit arg otherwise
+    got = enable_persistent_compilation_cache(str(tmp_path / "c"))
+    assert got == str(tmp_path / "c") and os.path.isdir(got)
