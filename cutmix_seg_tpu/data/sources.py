@@ -17,7 +17,6 @@ Differences from the reference by design:
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 import threading
@@ -28,6 +27,7 @@ import numpy as np
 from PIL import Image
 
 from cutmix_seg_tpu.data import settings
+from cutmix_seg_tpu.native.decode import decode_array
 
 
 def _holdout_split(train_ndx, val_ndx, n_val, val_rng, trainval_perm):
@@ -78,11 +78,16 @@ class DataSource:
         Image.fromarray(pred_y.astype(np.uint32)).save(path)
 
 
-def _to_rgb_array(img: Image.Image) -> np.ndarray:
-    arr = np.array(img)
+def _to_rgb_array(arr: np.ndarray) -> np.ndarray:
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     return arr[:, :, :3]
+
+
+def _read_file_array(path: str) -> np.ndarray:
+    """Decode an image file via the native C++ decoder (PIL fallback)."""
+    with open(path, "rb") as f:
+        return decode_array(f.read())
 
 
 class ZipSource(DataSource):
@@ -104,10 +109,9 @@ class ZipSource(DataSource):
         with self.zip_file.open(name) as f:
             return f.read()
 
-    def get_pil(self, name: str) -> Image.Image:
-        img = Image.open(io.BytesIO(self.read_bytes(name)))
-        img.load()
-        return img
+    def read_array(self, name: str) -> np.ndarray:
+        """Decode a zip member via the native C++ decoder (PIL fallback)."""
+        return decode_array(self.read_bytes(name))
 
 
 def _load_names(path):
@@ -211,14 +215,10 @@ class PascalVOCDataSource(DataSource):
         return data
 
     def get_image(self, i):
-        img = Image.open(self.x_paths[i])
-        img.load()
-        return _to_rgb_array(img)
+        return _to_rgb_array(_read_file_array(self.x_paths[i]))
 
     def _raw_labels(self, i):
-        img = Image.open(self.y_paths[i])
-        img.load()
-        return np.array(img)
+        return _read_file_array(self.y_paths[i])
 
     def get_labels(self, i):
         y = self._raw_labels(i)
@@ -288,10 +288,10 @@ class CityscapesDataSource(ZipSource):
         self.num_classes = len(self.class_names)
 
     def get_image(self, i):
-        return _to_rgb_array(self.get_pil(self.x_names[i]))
+        return _to_rgb_array(self.read_array(self.x_names[i]))
 
     def get_labels(self, i):
-        y = np.array(self.get_pil(self.y_names[i]))
+        y = self.read_array(self.y_names[i])
         if not self.with_void:
             y = self.non_void_mapping[y]
         return y.astype(np.int32)
@@ -338,10 +338,10 @@ class CamVidDataSource(ZipSource):
         self.num_classes = len(self.class_names) - 1
 
     def get_image(self, i):
-        return _to_rgb_array(self.get_pil(self.x_names[i]))
+        return _to_rgb_array(self.read_array(self.x_names[i]))
 
     def get_labels(self, i):
-        y = np.array(self.get_pil(self.y_names[i])).astype(np.int32)
+        y = self.read_array(self.y_names[i]).astype(np.int32)
         y[y == 11] = 255
         return y
 
@@ -382,10 +382,10 @@ class ISIC2017DataSource(ZipSource):
         self.rgb_std = mean_std["rgb_std"]
 
     def get_image(self, i):
-        return _to_rgb_array(self.get_pil(self.x_names[i]))
+        return _to_rgb_array(self.read_array(self.x_names[i]))
 
     def get_labels(self, i):
-        return (np.array(self.get_pil(self.y_names[i])) >= 127).astype(np.int32)
+        return (self.read_array(self.y_names[i]) >= 127).astype(np.int32)
 
     def get_mean_std(self):
         return self.rgb_mean, self.rgb_std

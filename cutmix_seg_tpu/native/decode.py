@@ -1,0 +1,147 @@
+"""ctypes wrapper for the native PNG/JPEG decoder (decode.cpp).
+
+``decode_array(data)`` returns exactly what ``np.array(PIL.Image.open(data))``
+would for the supported subset (8-bit gray / gray+alpha / palette-indices /
+RGB / RGBA PNG; 8-bit gray / RGB JPEG), decoding in C++ with the GIL released
+-- loader threads (data/loader.py) decode truly in parallel. Unsupported or
+corrupt inputs fall back to PIL so behavior never regresses.
+
+The library is built lazily with g++ into a source-hash-keyed cache dir; a
+prebuilt ``_decode-<sha>.so`` is reused across processes. Environment:
+  CUTMIX_SEG_NATIVE_DECODE=0   force PIL (native never loaded)
+  CUTMIX_SEG_NATIVE_DECODE=1   require native (raise if build/load fails)
+(default: try native, silently fall back to PIL).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import io
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "decode.cpp")
+_ABI_VERSION = 1
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build_dir() -> str:
+    return os.path.join(
+        os.path.expanduser(os.environ.get("CUTMIX_SEG_CACHE_DIR",
+                                          "~/.cache/cutmix_seg_tpu")),
+        "native",
+    )
+
+
+def _compile_library() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out_dir = _build_dir()
+    so_path = os.path.join(out_dir, f"_decode-{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(out_dir, exist_ok=True)
+    # build to a temp name + atomic rename: concurrent processes race safely
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=out_dir)
+    os.close(fd)
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC,
+           "-lpng", "-ljpeg", "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, so_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return so_path
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        mode = os.environ.get("CUTMIX_SEG_NATIVE_DECODE", "auto")
+        if mode == "0":
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_compile_library())
+            lib.cutmix_decode_probe.restype = ctypes.c_int
+            lib.cutmix_decode_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.cutmix_decode.restype = ctypes.c_int
+            lib.cutmix_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+            lib.cutmix_decode_abi_version.restype = ctypes.c_int
+            if lib.cutmix_decode_abi_version() != _ABI_VERSION:
+                raise RuntimeError("stale native decode library (ABI mismatch)")
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+            if mode == "1":
+                raise
+        return _lib
+
+
+def native_available() -> bool:
+    """True when the native decoder built/loaded (may trigger the build)."""
+    return _load() is not None
+
+
+def _decode_native(data: bytes):
+    """Native decode; None when the library is unavailable or the image falls
+    outside the supported subset (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = lib.cutmix_decode_probe(data, len(data),
+                                 ctypes.byref(h), ctypes.byref(w),
+                                 ctypes.byref(ch))
+    if rc != 0:
+        return None
+    shape = (h.value, w.value) if ch.value == 1 else (h.value, w.value, ch.value)
+    out = np.empty(shape, np.uint8)
+    rc = lib.cutmix_decode(data, len(data), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out
+
+
+def _decode_pil(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    return np.array(img)
+
+
+def decode_array(data: bytes) -> np.ndarray:
+    """Decode PNG/JPEG bytes to the ``np.array(Image.open(...))`` array.
+
+    Palette PNGs yield raw indices (H, W) -- the contract the label pipeline
+    relies on (reference: pascal_voc_dataset.py label reads via
+    ``np.array(Image.open(...))``).
+    """
+    arr = _decode_native(data)
+    if arr is None:
+        arr = _decode_pil(data)
+    return arr

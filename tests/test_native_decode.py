@@ -1,0 +1,161 @@
+"""Native C++ PNG/JPEG decoder: bit-parity with PIL, fallback, threading.
+
+The decoder (cutmix_seg_tpu/native/decode.cpp) must return exactly
+``np.array(PIL.Image.open(bytes))`` for every format the datasets use:
+palette-index PNG labels (VOC), RGB PNG (converted Cityscapes/CamVid/ISIC
+zips), JPEG images (VOC JPEGImages), plus gray/alpha variants. Unsupported
+inputs must fall back to PIL, never crash.
+"""
+
+import io
+import struct
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cutmix_seg_tpu.native import decode as nd
+
+
+pytestmark = pytest.mark.skipif(
+    not nd.native_available(), reason="native decoder unavailable (no g++?)"
+)
+
+
+def _png(img: Image.Image, **kw) -> bytes:
+    b = io.BytesIO()
+    img.save(b, "PNG", **kw)
+    return b.getvalue()
+
+
+def _ref(data: bytes) -> np.ndarray:
+    return np.array(Image.open(io.BytesIO(data)))
+
+
+def _cases():
+    rng = np.random.RandomState(7)
+    cases = {}
+    cases["rgb_png"] = _png(
+        Image.fromarray(rng.randint(0, 256, (37, 53, 3), np.uint8)))
+    cases["rgba_png"] = _png(
+        Image.fromarray(rng.randint(0, 256, (37, 53, 4), np.uint8), "RGBA"))
+    gray = rng.randint(0, 256, (41, 29), np.uint8)
+    cases["gray_png"] = _png(Image.fromarray(gray, "L"))
+    cases["la_png"] = _png(Image.fromarray(np.dstack([gray, gray]), "LA"))
+    pal = Image.fromarray(rng.randint(0, 21, (37, 53), np.uint8), "P")
+    pal.putpalette([i % 256 for i in range(768)])
+    cases["palette_png"] = _png(pal)
+    cases["interlaced_png"] = _png(
+        Image.fromarray(rng.randint(0, 256, (37, 53, 3), np.uint8)),
+        interlace=True)
+    jpg = Image.fromarray(rng.randint(0, 256, (64, 80, 3), np.uint8))
+    b = io.BytesIO()
+    jpg.save(b, "JPEG", quality=90)
+    cases["rgb_jpeg"] = b.getvalue()
+    b = io.BytesIO()
+    jpg.convert("L").save(b, "JPEG", quality=85)
+    cases["gray_jpeg"] = b.getvalue()
+    b = io.BytesIO()
+    jpg.save(b, "JPEG", quality=90, progressive=True)
+    cases["progressive_jpeg"] = b.getvalue()
+    return cases
+
+
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_native_bit_parity_with_pil(name):
+    data = _cases()[name]
+    nat = nd._decode_native(data)
+    assert nat is not None, f"{name}: expected native decode, got fallback"
+    np.testing.assert_array_equal(nat, _ref(data))
+
+
+def test_all_png_filter_types_decode():
+    """Hand-built PNG whose rows use every filter type (0..4); libpng must
+    reconstruct exactly what PIL does."""
+    h, w = 5, 8
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 256, (h, w, 3), np.uint8)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    # filter each row with type == row index (none/sub/up/avg/paeth)
+    prev = np.zeros((w, 3), np.int32)
+    stream = b""
+    for y in range(h):
+        row = raw[y].astype(np.int32)
+        ft = y % 5
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        up = prev
+        ul = np.zeros_like(row)
+        ul[1:] = prev[:-1]
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = row - left
+        elif ft == 2:
+            out = row - up
+        elif ft == 3:
+            out = row - (left + up) // 2
+        else:  # paeth
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+            out = row - pred
+        stream += bytes([ft]) + (out % 256).astype(np.uint8).tobytes()
+        prev = row
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(stream))
+           + chunk(b"IEND", b""))
+    nat = nd._decode_native(png)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, raw)
+    np.testing.assert_array_equal(nat, _ref(png))
+
+
+def test_unsupported_falls_back_to_pil():
+    a16 = np.random.RandomState(0).randint(0, 65535, (10, 11)).astype(np.uint16)
+    b = io.BytesIO()
+    Image.fromarray(a16).save(b, "PNG")  # 16-bit: outside the native subset
+    data = b.getvalue()
+    assert nd._decode_native(data) is None
+    out = nd.decode_array(data)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, _ref(data))
+
+
+def test_corrupt_data_raises_via_pil():
+    assert nd._decode_native(b"not an image") is None
+    with pytest.raises(Exception):
+        nd.decode_array(b"not an image")
+
+
+def test_truncated_png_does_not_crash():
+    data = _cases()["rgb_png"]
+    for cut in (8, 20, 40, len(data) // 2, len(data) - 5):
+        assert nd._decode_native(data[:cut]) is None
+
+
+def test_threaded_decode_parity():
+    cases = _cases()
+    names = sorted(cases) * 8
+    with ThreadPoolExecutor(8) as pool:
+        outs = list(pool.map(lambda n: nd.decode_array(cases[n]), names))
+    for name, out in zip(names, outs):
+        np.testing.assert_array_equal(out, _ref(cases[name]))
+
+
+def test_env_disable(monkeypatch):
+    """CUTMIX_SEG_NATIVE_DECODE=0 must route through PIL (fresh state)."""
+    monkeypatch.setenv("CUTMIX_SEG_NATIVE_DECODE", "0")
+    monkeypatch.setattr(nd, "_lib", None)
+    monkeypatch.setattr(nd, "_lib_failed", False)
+    assert not nd.native_available()
+    data = _cases()["rgb_png"]
+    np.testing.assert_array_equal(nd.decode_array(data), _ref(data))
