@@ -91,8 +91,16 @@ def create_train_state(
     mean_teacher: bool = True,
     pretrained: bool = True,
 ) -> tuple[TrainState, optax.GradientTransformation]:
-    """Initialise the full train state for a SegModel."""
+    """Initialise the full train state for a SegModel.
+
+    ``input_hw`` only shapes the init trace (parameter shapes are
+    spatial-size independent); it is rounded up to the model's block size so
+    encoder/decoder skip resolutions line up for U-Net-family models
+    (DenseUNet/ResUNet have block_size (32, 32); an odd init size crashes
+    their additive skips)."""
     k_init, k_state = jax.random.split(rng)
+    bh, bw = getattr(model, "block_size", (1, 1))
+    input_hw = (-(-input_hw[0] // bh) * bh, -(-input_hw[1] // bw) * bw)
     variables = model.init(k_init, input_hw=input_hw)
     if pretrained and model.load_pretrained is not None:
         variables = model.load_pretrained(variables)

@@ -50,7 +50,10 @@ def make_aug_cons_step(model, tx, cfg: AugConsConfig):
     use_cons = cfg.cons_weight > 0.0
 
     def step(state: TrainState, batch, ramp_val):
-        rng, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 3)
+        # k_drop_tea: teacher runs in train() mode per the reference
+        # (train_seg_semisup_aug_mt.py teacher forward)
+        rng, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
+            state.rng, 4)
         tea_state = state.teacher if cfg.mean_teacher else state.student
         tea_stats = tea_state.batch_stats
 
@@ -61,7 +64,7 @@ def make_aug_cons_step(model, tx, cfg: AugConsConfig):
 
             logits_tea, tea_stats = apply_model(
                 model, tea_state.params, tea_stats, x0,
-                train=True, freeze_bn=cfg.freeze_bn)
+                train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
             logits_tea = jax.lax.stop_gradient(logits_tea.astype(jnp.float32))
             prob_tea = jax.nn.softmax(logits_tea, axis=-1)
 

@@ -43,7 +43,10 @@ def make_ict_step(model, tx, cfg: ICTConfig):
     use_cons = cfg.cons_weight > 0.0
 
     def step(state: TrainState, batch, ramp_val):
-        rng, k_beta, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 4)
+        # k_drop_tea: teacher runs in train() mode per the reference, so
+        # dropout-bearing models draw teacher dropout masks (ict.py:272-341)
+        rng, k_beta, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
+            state.rng, 5)
         tea_state = state.teacher if cfg.mean_teacher else state.student
         tea_stats = tea_state.batch_stats
 
@@ -62,15 +65,16 @@ def make_ict_step(model, tx, cfg: ICTConfig):
                 tea_both, tea_stats = apply_model(
                     model, tea_state.params, tea_stats,
                     jnp.concatenate([batch["ux0_tea"], batch["ux1_tea"]]),
-                    train=True, freeze_bn=True)
+                    train=True, freeze_bn=True, rng=k_drop_tea)
                 tea0, tea1 = tea_both[:n], tea_both[n:]
             else:
                 tea0, tea_stats = apply_model(
                     model, tea_state.params, tea_stats, batch["ux0_tea"],
-                    train=True, freeze_bn=cfg.freeze_bn)
+                    train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
                 tea1, tea_stats = apply_model(
                     model, tea_state.params, tea_stats, batch["ux1_tea"],
-                    train=True, freeze_bn=cfg.freeze_bn)
+                    train=True, freeze_bn=cfg.freeze_bn,
+                    rng=jax.random.fold_in(k_drop_tea, 1))
             tea0 = jax.lax.stop_gradient(tea0.astype(jnp.float32))
             tea1 = jax.lax.stop_gradient(tea1.astype(jnp.float32))
             p0, p1 = jax.nn.softmax(tea0, axis=-1), jax.nn.softmax(tea1, axis=-1)

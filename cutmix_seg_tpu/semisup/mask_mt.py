@@ -74,7 +74,11 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     use_cons = cfg.cons_weight > 0.0
 
     def step(state: TrainState, batch, ramp_val):
-        rng, k_mask, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 4)
+        # k_drop_tea: the reference's teacher runs in train() mode, so
+        # dropout-bearing models (DenseUNet) draw fresh teacher dropout masks
+        # per forward (reference: train_seg_semisup_mask_mt.py:268-275,354)
+        rng, k_mask, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
+            state.rng, 5)
         tea_state = state.teacher if cfg.mean_teacher else state.student
         tea_stats = tea_state.batch_stats
 
@@ -104,17 +108,18 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                     tea_both, tea_stats = apply_model(
                         model, tea_state.params, tea_stats,
                         jnp.concatenate([batch["ux0_tea"], batch["ux1_tea"]]),
-                        train=True, freeze_bn=True)
+                        train=True, freeze_bn=True, rng=k_drop_tea)
                     tea0, tea1 = tea_both[:n], tea_both[n:]
                 else:
                     # training BN updates stats per forward: keep the
                     # reference's two sequential passes
                     tea0, tea_stats = apply_model(
                         model, tea_state.params, tea_stats, batch["ux0_tea"],
-                        train=True, freeze_bn=cfg.freeze_bn)
+                        train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
                     tea1, tea_stats = apply_model(
                         model, tea_state.params, tea_stats, batch["ux1_tea"],
-                        train=True, freeze_bn=cfg.freeze_bn)
+                        train=True, freeze_bn=cfg.freeze_bn,
+                        rng=jax.random.fold_in(k_drop_tea, 1))
                 logits_tea = tea0 * (1.0 - m) + tea1 * m
             elif cfg.mask_mode == "zero":
                 ux_stu = batch["ux_stu"]
@@ -124,7 +129,7 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                 loss_mask = m * batch["um"]
                 logits_tea, tea_stats = apply_model(
                     model, tea_state.params, tea_stats, batch["ux_tea"],
-                    train=True, freeze_bn=cfg.freeze_bn)
+                    train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
             else:
                 raise ValueError(f"unknown mask_mode {cfg.mask_mode!r}")
             logits_tea = jax.lax.stop_gradient(logits_tea.astype(jnp.float32))

@@ -76,7 +76,10 @@ def make_vat_step(model, tx, cfg: VATConfig):
     use_cons = cfg.cons_weight > 0.0
 
     def step(state: TrainState, batch, ramp_val):
-        rng, k_eps, k_drop_sup, k_drop_uns = jax.random.split(state.rng, 4)
+        # k_drop_tea: teacher runs in train() mode per the reference (the VAT
+        # direction net, by contrast, runs eval() — vat_mt.py:237)
+        rng, k_eps, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
+            state.rng, 5)
         tea_state = state.teacher if cfg.mean_teacher else state.student
         tea_stats = tea_state.batch_stats
 
@@ -125,7 +128,7 @@ def make_vat_step(model, tx, cfg: VATConfig):
 
             logits_tea, tea_stats = apply_model(
                 model, tea_state.params, tea_stats, x_tea,
-                train=True, freeze_bn=cfg.freeze_bn)
+                train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
             logits_tea = jax.lax.stop_gradient(logits_tea.astype(jnp.float32))
             prob_tea = jax.nn.softmax(logits_tea, axis=-1)
             conf_px = confidence_px(cfg, prob_tea.max(axis=-1, keepdims=True))

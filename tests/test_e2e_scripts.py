@@ -1,0 +1,64 @@
+"""The e2e-script synthetic zip generators must produce source-valid archives.
+
+scripts/tpu_e2e_{cityscapes,isic}.py generate real-resolution synthetic
+datasets in the converters' exact output formats; these tests build small
+instances and construct the actual DataSources on them, so format drift
+(name scheme, label encoding, rgb stats pickle) is caught without TPU runs.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def _load(name):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_isic_zip_generator_is_source_valid(tmp_path):
+    from cutmix_seg_tpu.data.sources import ISIC2017DataSource
+
+    mod = _load("tpu_e2e_isic")
+    zp = str(tmp_path / "isic2017_segmentation.zip")
+    mod.make_zip(zp, n_train=4, n_val=2, hw=(64, 64), seed=1)
+
+    src = ISIC2017DataSource(n_val=0, val_rng=np.random.RandomState(0),
+                             trainval_perm=None, zip_path=zp)
+    assert src.num_classes == 2
+    assert len(src.train_ndx) == 4 and len(src.val_ndx) == 2
+    img = src.get_image(int(src.train_ndx[0]))
+    lab = src.get_labels(int(src.train_ndx[0]))
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert lab.shape == (64, 64) and set(np.unique(lab)) <= {0, 1}
+    assert 0 < lab.mean() < 1, "lesion must cover part of the image"
+    mean, std = src.get_mean_std()
+    np.testing.assert_allclose(mean, np.full(3, 0.6))
+    np.testing.assert_allclose(std, np.full(3, 0.2))
+
+
+@pytest.mark.parametrize("task", ["easy", "hard"])
+def test_cityscapes_zip_generator_is_source_valid(tmp_path, task):
+    from cutmix_seg_tpu.data.sources import CityscapesDataSource
+
+    mod = _load("tpu_e2e_cityscapes")
+    zp = str(tmp_path / "cityscapes_segmentation.zip")
+    mod.make_zip(zp, n_train=3, n_val=2, hw=(64, 128), seed=1, task=task)
+
+    src = CityscapesDataSource(n_val=0, val_rng=np.random.RandomState(0),
+                               trainval_perm=None, zip_path=zp)
+    assert src.num_classes == 19
+    assert len(src.train_ndx) == 3 and len(src.val_ndx) == 2
+    img = src.get_image(int(src.train_ndx[0]))
+    lab = src.get_labels(int(src.train_ndx[0]))
+    assert img.shape == (64, 128, 3) and img.dtype == np.uint8
+    valid = lab[lab != 255]
+    assert valid.size and valid.min() >= 0 and valid.max() < 19

@@ -252,3 +252,93 @@ def test_sharded_eval_matches_host():
     ev = EvaluatorIoU(4)
     ev.update_cm(cm)
     assert np.isfinite(ev.miou())
+
+
+def test_create_train_state_rounds_init_hw_to_block_size():
+    """U-Net-family models (block_size (32, 32)) must init even when callers
+    pass an unaligned probe size — the engine passes (65, 65) for every arch
+    (regression: DenseUNet additive skips crash at odd resolutions)."""
+    import flax.linen as nn
+
+    class BlockPicky(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, freeze_bn=False):
+            assert x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
+            return nn.Conv(4, (1, 1))(x)
+
+    model = SegModel(
+        name="block_picky", module=BlockPicky(), mean=_np.zeros(3),
+        std=_np.ones(3), block_size=(32, 32), param_label=_param_label,
+        has_batch_stats=False,
+    )
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=1e-3,
+        lr_schedule=make_lr_schedule("none", 1e-3, 10),
+    )
+    state, _ = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(65, 65),
+        mean_teacher=False, pretrained=False,
+    )
+    assert state.student.params
+
+
+def test_all_steps_support_dropout_models():
+    """Teacher forwards run train=True (reference parity) and must supply a
+    dropout RNG — dropout-bearing models (DenseUNet, the ISIC arch) crashed
+    in every algorithm step before the k_drop_tea fix."""
+    import flax.linen as nn
+
+    from cutmix_seg_tpu.semisup.aug_cons import AugConsConfig, make_aug_cons_step
+    from cutmix_seg_tpu.semisup.ict import ICTConfig, make_ict_step
+    from cutmix_seg_tpu.semisup.vat import VATConfig, make_vat_step
+
+    class DropNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, freeze_bn=False):
+            x = nn.Conv(8, (3, 3))(x)
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+            return nn.Conv(4, (1, 1))(x)
+
+    model = SegModel(
+        name="dropnet", module=DropNet(), mean=_np.zeros(3), std=_np.ones(3),
+        block_size=(1, 1), param_label=_param_label, has_batch_stats=False,
+    )
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=1e-3,
+        lr_schedule=make_lr_schedule("none", 1e-3, 10),
+    )
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(9, 9),
+        mean_teacher=True, pretrained=False,
+    )
+    rng = _np.random.RandomState(0)
+    ramp = jnp.float32(1.0)
+    common = dict(cons_weight=1.0, conf_thresh=0.5, freeze_bn=True,
+                  mean_teacher=True)
+
+    for mode in ("mix", "zero"):
+        batch = make_batch(rng, b=2, hw=(9, 9), mode=mode)
+        cfg = MaskConsistencyConfig(mask_mode=mode, pallas_cutmix="off",
+                                    **common)
+        s2, metrics = jax.jit(make_mask_mt_step(model, tx, cfg))(
+            state, batch, ramp)
+        assert _np.isfinite(float(metrics["cons_loss"])), mode
+
+    batch = make_batch(rng, b=2, hw=(9, 9), mode="mix")
+    s2, metrics = jax.jit(make_ict_step(model, tx, ICTConfig(
+        ict_alpha=0.1, **common)))(state, batch, ramp)
+    assert _np.isfinite(float(metrics["cons_loss"]))
+
+    batch = make_batch(rng, b=2, hw=(9, 9), mode="zero")
+    s2, metrics = jax.jit(make_vat_step(model, tx, VATConfig(
+        vat_radius=0.1, **common)))(state, batch, ramp)
+    assert _np.isfinite(float(metrics["cons_loss"]))
+
+    b = make_batch(rng, b=2, hw=(9, 9), mode="mix")
+    batch = {"sup_x": b["sup_x"], "sup_y": b["sup_y"], "ux0": b["ux0_tea"],
+             "ux1": b["ux1_tea"], "um0": b["um0"], "um1": b["um1"],
+             "xf0_to_1": jnp.tile(jnp.asarray([[[1.0, 0, 0], [0, 1.0, 0]]],
+                                              jnp.float32), (2, 1, 1))}
+    s2, metrics = jax.jit(make_aug_cons_step(model, tx, AugConsConfig(
+        **common)))(state, batch, ramp)
+    assert _np.isfinite(float(metrics["cons_loss"]))
