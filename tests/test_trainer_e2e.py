@@ -387,3 +387,52 @@ def test_mask_mt_trainer_eval_spatial(tiny_zip, tmp_path, monkeypatch):
     assert "Epoch 1:" in log and "VAL mIoU=" in log
     # finalise() prediction export also goes through the spatial path
     assert len(os.listdir(run_dir / "preds")) > 0
+
+
+def test_trainer_end_to_end_block32_dropout_arch(tiny_zip, tmp_path,
+                                                 monkeypatch):
+    """Engine-level regression for the U-Net-family traits that crashed the
+    ISIC recipe: block_size (32, 32) (init probe must round up) and dropout
+    (teacher forwards run train=True and need a dropout RNG)."""
+    import flax.linen as nn
+    import jax
+
+    from cutmix_seg_tpu.models.common import batch_norm
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    class Block32DropNet(nn.Module):
+        num_classes: int
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, x, train=False, freeze_bn=False):
+            assert x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
+            x = nn.Conv(8, (3, 3), strides=(2, 2))(x)
+            x = batch_norm(use_running_average=not train or freeze_bn,
+                           name="bn")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.3, deterministic=not train)(x)
+            x = nn.Conv(self.num_classes, (1, 1))(x)
+            return jax.image.resize(
+                x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+                "bilinear")
+
+    name = "tiny_block32_dropout_test"
+    if name not in registry.names():
+        @registry.register(name)
+        def factory(num_classes, dtype=None, pretrained=True):
+            return SegModel(
+                name=name,
+                module=Block32DropNet(num_classes=num_classes, dtype=dtype),
+                mean=np.zeros(3), std=np.ones(3), block_size=(32, 32),
+                param_label=_param_label,
+            )
+
+    _patch_zip(monkeypatch, tiny_zip)
+    p = _params(tiny_zip, arch=name, freeze_bn=False, num_epochs=1,
+                save_model=False)
+    job.submit("test_block32_dropout", "r", train_seg_semisup_mask_mt, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_block32_dropout" / "r"
+           / "log_r.txt").read_text()
+    assert "Epoch 1:" in log and "VAL mIoU=" in log
