@@ -100,3 +100,30 @@ def test_serving_bench_artifact_parses():
         assert r["images_per_sec"] > 0 and r["latency_ms"] > 0
     # single-image serving latency stays interactive on one chip
     assert rec["batches"]["1"]["latency_ms"] < 100
+
+
+@pytest.mark.parametrize("run", ["semisup", "supervised"])
+def test_isic_scale_artifacts_parse(run):
+    d = os.path.join(ROOT, "isic_scale")
+    text = open(os.path.join(d, f"log_{run}.txt")).read()
+    mious = re.findall(r"VAL mIoU=([\d.]+)%", text)
+    assert len(mious) == 3, "expected 3 epochs"
+    assert float(mious[-1]) > 90.0
+    lines = open(os.path.join(d, f"metrics_{run}.jsonl")).read().splitlines()
+    epochs = [json.loads(ln) for ln in lines]
+    assert epochs[-1]["epoch"] == 3
+    if run == "semisup":
+        assert epochs[-1]["cons_loss"] > 0
+    else:
+        assert epochs[-1]["cons_loss"] == 0
+    # steady-state epochs (post-compile) at real resolution on hardware
+    assert epochs[-1]["epoch_time"] < 60.0
+
+
+def test_isic_scale_semisup_gain():
+    d = os.path.join(ROOT, "isic_scale")
+    final = {}
+    for run in ("semisup", "supervised"):
+        text = open(os.path.join(d, f"log_{run}.txt")).read()
+        final[run] = float(re.findall(r"VAL mIoU=([\d.]+)%", text)[-1])
+    assert final["semisup"] > final["supervised"]
