@@ -164,17 +164,22 @@ int png_decode(const uint8_t* buf, size_t len, uint8_t* out) {
   PngInfoOut geo;
   int rc = png_open(buf, len, &jb, &png, &info, &state, &geo);
   if (rc != kOk) return rc;
+  // volatile: assigned between setjmp and a possible longjmp from libpng
+  // (corrupt IDAT); freed on both paths.
+  png_bytep* volatile rows = nullptr;
   if (setjmp(jb)) {
+    delete[] rows;
     png_destroy_read_struct(&png, &info, nullptr);
     return kErrBadData;
   }
   size_t stride = static_cast<size_t>(geo.w) * geo.channels;
   // png_read_image handles interlacing internally given all row pointers.
-  png_bytep* rows = new png_bytep[geo.h];
+  rows = new png_bytep[geo.h];
   for (png_uint_32 y = 0; y < geo.h; ++y) rows[y] = out + y * stride;
   png_read_image(png, rows);
-  delete[] rows;
   png_read_end(png, nullptr);
+  delete[] rows;
+  rows = nullptr;
   png_destroy_read_struct(&png, &info, nullptr);
   return kOk;
 }
