@@ -159,3 +159,34 @@ def test_env_disable(monkeypatch):
     assert not nd.native_available()
     data = _cases()["rgb_png"]
     np.testing.assert_array_equal(nd.decode_array(data), _ref(data))
+
+
+def test_decompression_bomb_header_routed_to_pil():
+    """A 60000x60000 IHDR must not make the native path allocate ~10 GB —
+    oversized declarations fall back to PIL, which raises its bomb error."""
+    import PIL
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b""))
+    assert nd._decode_native(bomb) is None
+    with pytest.raises(PIL.Image.DecompressionBombError):
+        nd.decode_array(bomb)
+
+
+def test_require_native_raises_on_every_call(monkeypatch):
+    """CUTMIX_SEG_NATIVE_DECODE=1 with a failed build must raise for every
+    caller, not only the first."""
+    monkeypatch.setenv("CUTMIX_SEG_NATIVE_DECODE", "1")
+    monkeypatch.setattr(nd, "_lib", None)
+    monkeypatch.setattr(nd, "_lib_failed", True)
+    monkeypatch.setattr(nd, "_lib_error", RuntimeError("g++ exploded"))
+    data = _cases()["rgb_png"]
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="native decoder is unavailable"):
+            nd.decode_array(data)
