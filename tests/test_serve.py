@@ -3,6 +3,7 @@ round-trip through serialize/deserialize, serve any batch size via the
 symbolic batch dim, and reproduce the in-framework forward exactly."""
 
 import json
+import pytest
 import os
 
 import numpy as np
@@ -168,3 +169,24 @@ def test_http_serving_host_roundtrip(tmp_path):
         np.testing.assert_array_equal(pred, ref.astype(np.uint8))
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_export_roundtrip_full_denseunet(tmp_path):
+    """Serving export generalizes beyond DeepLab: the full DenseUNet-161
+    (dense-block concats, BN stats, dropout head — the ISIC arch) exports
+    and reloads bit-exactly. ~2.5 min on CPU."""
+    from cutmix_seg_tpu.models.denseunet import densenet161unet_imagenet
+
+    model = densenet161unet_imagenet(num_classes=2, pretrained=False)
+    mstate = _state(model)
+    path = str(tmp_path / "dense.jaxexport")
+    export_serving_artifact(model, mstate, (64, 64), path, num_classes=2,
+                            platforms=("cpu",))
+    call, meta = load_serving_artifact(path)
+    assert meta["num_classes"] == 2
+    x = np.random.RandomState(0).randint(
+        0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+    got = np.asarray(call(x))
+    ref = np.asarray(make_serving_fn(model, mstate)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
