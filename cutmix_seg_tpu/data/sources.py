@@ -24,10 +24,9 @@ import zipfile
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
 
 from cutmix_seg_tpu.data import settings
-from cutmix_seg_tpu.native.decode import decode_array
+from cutmix_seg_tpu.native.decode import decode_array, encode_png
 
 
 def _holdout_split(train_ndx, val_ndx, n_val, val_rng, trainval_perm):
@@ -75,7 +74,11 @@ class DataSource:
     def save_prediction_by_index(self, out_dir, pred_y, i):
         path = os.path.join(out_dir, f"{self.sample_names[i]}.png")
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        Image.fromarray(pred_y.astype(np.uint32)).save(path)
+        # 16-bit gray PNG, same stored content as the reference's
+        # Image.fromarray(pred.astype(np.uint32)).save (PNG has no 32-bit
+        # depth; PIL writes mode-I as 16-bit) -- reference: seg_data.py:112-115
+        with open(path, "wb") as f:
+            f.write(encode_png(np.asarray(pred_y).astype(np.uint32)))
 
 
 def _to_rgb_array(arr: np.ndarray) -> np.ndarray:

@@ -10,5 +10,6 @@ step. Set ``CUTMIX_SEG_NATIVE_DECODE=0`` to force the PIL path.
 
 from cutmix_seg_tpu.native.decode import (  # noqa: F401
     decode_array,
+    encode_png,
     native_available,
 )

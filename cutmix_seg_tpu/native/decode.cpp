@@ -24,9 +24,13 @@
 // API (ctypes, all returns: 0 ok / negative error):
 //   cutmix_decode_probe(buf, len, &h, &w, &channels)
 //   cutmix_decode(buf, len, out /* h*w*channels bytes, caller-allocated */)
+//   cutmix_encode_png(pixels, h, w, channels, bit_depth, &out, &out_len)
+//     + cutmix_free(out)  -- prediction-export writer (8-bit gray/RGB,
+//     16-bit gray; mirrors PIL's mode-L/RGB/I PNG output content)
 
 #include <csetjmp>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 #include <png.h>
@@ -257,6 +261,79 @@ bool looks_like_png(const uint8_t* buf, size_t len) {
   return len >= 8 && png_sig_cmp(buf, 0, 8) == 0;
 }
 
+// ---------------------------------------------------------------------------
+// PNG encode (prediction export: 8-bit gray/RGB and 16-bit gray label maps)
+// ---------------------------------------------------------------------------
+
+struct PngWriteState {
+  uint8_t* data;
+  size_t len;
+  size_t cap;
+};
+
+void png_write_to_memory(png_structp png, png_bytep in, png_size_t count) {
+  PngWriteState* s = static_cast<PngWriteState*>(png_get_io_ptr(png));
+  if (s->len + count > s->cap) {
+    size_t cap = s->cap ? s->cap : 4096;
+    while (cap < s->len + count) cap *= 2;
+    uint8_t* grown = static_cast<uint8_t*>(std::realloc(s->data, cap));
+    if (!grown) {
+      png_error(png, "out of memory");
+      return;
+    }
+    s->data = grown;
+    s->cap = cap;
+  }
+  std::memcpy(s->data + s->len, in, count);
+  s->len += count;
+}
+
+void png_flush_noop(png_structp) {}
+
+int png_encode(const uint8_t* pixels, int h, int w, int channels,
+               int bit_depth, uint8_t** out, size_t* out_len) {
+  if (h <= 0 || w <= 0) return kErrBadData;
+  if (!((bit_depth == 8 && (channels == 1 || channels == 3)) ||
+        (bit_depth == 16 && channels == 1)))
+    return kErrUnsupported;
+  std::jmp_buf jb;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, &jb,
+                                            png_on_error, png_on_warning);
+  if (!png) return kErrInternal;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    return kErrInternal;
+  }
+  PngWriteState state{nullptr, 0, 0};
+  png_bytep* volatile rows = nullptr;
+  if (setjmp(jb)) {
+    delete[] rows;
+    std::free(state.data);
+    png_destroy_write_struct(&png, &info);
+    return kErrInternal;
+  }
+  png_set_write_fn(png, &state, png_write_to_memory, png_flush_noop);
+  png_set_IHDR(png, info, w, h, bit_depth,
+               channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_GRAY,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  if (bit_depth == 16) png_set_swap(png);  // caller passes native little-endian
+  size_t stride = static_cast<size_t>(w) * channels * (bit_depth / 8);
+  rows = new png_bytep[h];
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(pixels + y * stride);
+  png_write_image(png, rows);
+  png_write_end(png, nullptr);
+  delete[] rows;
+  rows = nullptr;
+  png_destroy_write_struct(&png, &info);
+  *out = state.data;
+  *out_len = state.len;
+  return kOk;
+}
+
 }  // namespace
 
 extern "C" {
@@ -278,8 +355,17 @@ int cutmix_decode(const uint8_t* buf, size_t len, uint8_t* out) {
   return kErrBadData;
 }
 
+// PNG encode into a malloc'd buffer; caller must call cutmix_free(*out).
+// bit_depth 8 (channels 1 or 3) or 16 (channels 1, native-endian uint16).
+int cutmix_encode_png(const uint8_t* pixels, int h, int w, int channels,
+                      int bit_depth, uint8_t** out, size_t* out_len) {
+  return png_encode(pixels, h, w, channels, bit_depth, out, out_len);
+}
+
+void cutmix_free(uint8_t* ptr) { std::free(ptr); }
+
 // Version tag so the Python wrapper can confirm it loaded the library it
 // just built (guards against stale cached .so files).
-int cutmix_decode_abi_version() { return 1; }
+int cutmix_decode_abi_version() { return 2; }
 
 }  // extern "C"

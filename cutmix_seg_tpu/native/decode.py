@@ -26,7 +26,7 @@ import threading
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "decode.cpp")
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lock = threading.Lock()
 _lib = None
@@ -110,6 +110,13 @@ def _load():
             lib.cutmix_decode.restype = ctypes.c_int
             lib.cutmix_decode.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+            lib.cutmix_encode_png.restype = ctypes.c_int
+            lib.cutmix_encode_png.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_size_t)]
+            lib.cutmix_free.restype = None
+            lib.cutmix_free.argtypes = [ctypes.c_void_p]
             lib.cutmix_decode_abi_version.restype = ctypes.c_int
             if lib.cutmix_decode_abi_version() != _ABI_VERSION:
                 raise RuntimeError("stale native decode library (ABI mismatch)")
@@ -165,6 +172,58 @@ def _decode_pil(data: bytes) -> np.ndarray:
     img = Image.open(io.BytesIO(data))
     img.load()
     return np.array(img)
+
+
+def _encode_native(arr: np.ndarray):
+    """Native PNG encode; None when unavailable or unsupported (caller falls
+    back to PIL). Supports uint8 (H,W) / (H,W,3) and uint16 (H,W)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if arr.ndim == 2:
+        channels = 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        channels = 3
+    else:
+        return None
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16 and channels == 1:
+        depth = 16
+    else:
+        return None
+    arr = np.ascontiguousarray(arr)
+    out = ctypes.c_void_p()
+    out_len = ctypes.c_size_t()
+    rc = lib.cutmix_encode_png(
+        arr.ctypes.data_as(ctypes.c_void_p), arr.shape[0], arr.shape[1],
+        channels, depth, ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out.value, out_len.value)
+    finally:
+        lib.cutmix_free(out)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a label map / image to PNG bytes (native, PIL fallback).
+
+    Content-parity with the PIL path: the encoded file decodes back to the
+    same array (byte streams may differ -- PNG encoders choose filters
+    freely). uint32 label maps are narrowed to uint16, matching what PIL
+    stores for mode-I arrays (PNG has no 32-bit depth)."""
+    from PIL import Image
+
+    if arr.dtype in (np.uint32, np.int32, np.int64):
+        if arr.ndim == 2 and arr.min() >= 0 and arr.max() < 65536:
+            arr = arr.astype(np.uint16)
+    data = _encode_native(arr)
+    if data is not None:
+        return data
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return buf.getvalue()
 
 
 def decode_array(data: bytes) -> np.ndarray:

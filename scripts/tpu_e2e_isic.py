@@ -32,35 +32,47 @@ def _png(arr):
     return buf.getvalue()
 
 
-def _lesion_scene(rng, h, w, ys, xs):
+def _lesion_scene(rng, h, w, ys, xs, task="easy"):
     """Skin-toned background with hair-like stripe distractors and an
     irregular multi-lobe lesion whose colour overlaps the distractors —
     segmenting it needs shape, not a colour threshold, leaving semisup
-    headroom at small n_sup."""
+    headroom at small n_sup. ``task='hard'``: fainter, smaller lesions,
+    heavier hair clutter, larger appearance variation (more headroom for
+    the consistency signal)."""
+    hard = task == "hard"
     skin = np.array([205, 160, 140]) + rng.randint(-15, 15, 3)
     grad = (ys / h - 0.5)[:, :, None] * rng.randint(-25, 25, 3)
     img = np.clip(skin + grad + rng.normal(0, 5, (h, w, 3)), 0, 255)
     # hair distractors: thin dark diagonal strokes
-    for _ in range(rng.randint(4, 10)):
+    for _ in range(rng.randint(*((10, 20) if hard else (4, 10)))):
         c = rng.randint(-w, h + w)
         s = rng.choice([-1, 1])
         m = np.abs(ys + s * xs - c) < rng.randint(1, 3)
-        img[m] = img[m] * 0.45
+        img[m] = img[m] * (0.55 if hard else 0.45)
     # lesion: union of 2-4 overlapping ellipses with wavy boundaries
     lab = np.zeros((h, w), bool)
     cy0, cx0 = rng.randint(h // 3, 2 * h // 3), rng.randint(w // 3, 2 * w // 3)
     for _ in range(rng.randint(2, 5)):
         cy = cy0 + rng.randint(-h // 8, h // 8)
         cx = cx0 + rng.randint(-w // 8, w // 8)
-        ry = rng.randint(h // 10, h // 5)
-        rx = rng.randint(w // 10, w // 5)
+        if hard:  # smaller lobes
+            ry = rng.randint(h // 14, h // 8)
+            rx = rng.randint(w // 14, w // 8)
+        else:
+            ry = rng.randint(h // 10, h // 5)
+            rx = rng.randint(w // 10, w // 5)
         ang = rng.uniform(0, np.pi)
         yr = (ys - cy) * np.cos(ang) + (xs - cx) * np.sin(ang)
         xr = -(ys - cy) * np.sin(ang) + (xs - cx) * np.cos(ang)
         wave = 1.0 + 0.25 * np.sin(np.arctan2(yr, xr) * rng.randint(3, 7))
         lab |= (yr / ry) ** 2 + (xr / rx) ** 2 <= wave
-    lesion_col = np.array([120, 75, 70]) + rng.randint(-20, 20, 3)
-    alpha = 0.75 + 0.2 * rng.rand(h, w, 1)
+    if hard:
+        # faint lesion whose tone varies per image and overlaps hair tone
+        lesion_col = skin * 0.75 + rng.randint(-18, 18, 3)
+        alpha = 0.30 + 0.25 * rng.rand(h, w, 1)
+    else:
+        lesion_col = np.array([120, 75, 70]) + rng.randint(-20, 20, 3)
+        alpha = 0.75 + 0.2 * rng.rand(h, w, 1)
     img = np.where(lab[:, :, None],
                    img * (1 - alpha) + (lesion_col
                                         + rng.normal(0, 8, (h, w, 3))) * alpha,
@@ -69,14 +81,14 @@ def _lesion_scene(rng, h, w, ys, xs):
             np.where(lab, 255, 0).astype(np.uint8))
 
 
-def make_zip(path, n_train=40, n_val=10, hw=(248, 248), seed=0):
+def make_zip(path, n_train=40, n_val=10, hw=(248, 248), seed=0, task="easy"):
     rng = np.random.RandomState(seed)
     h, w = hw
     ys, xs = np.mgrid[0:h, 0:w]
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
         for split, n in (("train", n_train), ("val", n_val)):
             for i in range(n):
-                img, lab = _lesion_scene(rng, h, w, ys, xs)
+                img, lab = _lesion_scene(rng, h, w, ys, xs, task=task)
                 zf.writestr(f"{split}/im{i:03d}_x.png", _png(img))
                 zf.writestr(f"{split}/im{i:03d}_y.png", _png(lab))
         zf.writestr("rgb_mean_std.pkl", pickle.dumps(
@@ -98,13 +110,16 @@ def main():
     ap.add_argument("--job_desc", default="run")
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--rampup", type=int, default=-1)
+    ap.add_argument("--task", default="easy", choices=["easy", "hard"],
+                    help="'easy' saturates quickly (pipeline exercise); "
+                         "'hard' leaves semisup headroom (gain experiments)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_isic_")
     os.makedirs(tmp, exist_ok=True)
     zip_path = os.path.join(tmp, "isic2017_segmentation.zip")
     print(f"generating synthetic ISIC zip at {zip_path}...", flush=True)
-    make_zip(zip_path, n_train=args.n_train)
+    make_zip(zip_path, n_train=args.n_train, task=args.task)
 
     from cutmix_seg_tpu.core import job
     from cutmix_seg_tpu.data import sources

@@ -190,3 +190,46 @@ def test_require_native_raises_on_every_call(monkeypatch):
     for _ in range(3):
         with pytest.raises(RuntimeError, match="native decoder is unavailable"):
             nd.decode_array(data)
+
+
+def test_encode_png_roundtrip_parity():
+    """Native PNG encode: the file must decode (via PIL) to the same array
+    PIL's own save would store, for every dtype the export path uses."""
+    rng = np.random.RandomState(11)
+    cases = {
+        "gray8": rng.randint(0, 256, (23, 31), np.uint8),
+        "rgb8": rng.randint(0, 256, (23, 31, 3), np.uint8),
+        "gray16": rng.randint(0, 65536, (23, 31)).astype(np.uint16),
+        "labels_u32": rng.randint(0, 21, (23, 31)).astype(np.uint32),
+    }
+    for name, arr in cases.items():
+        data = nd.encode_png(arr)
+        got = _ref(data)
+        # PIL's own write of the same array (uint32 -> mode I -> 16-bit png)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "PNG")
+        pil_stored = _ref(b.getvalue())
+        np.testing.assert_array_equal(got, pil_stored.astype(got.dtype), name)
+        np.testing.assert_array_equal(got.astype(np.int64),
+                                      arr.astype(np.int64), name)
+
+
+def test_encode_png_native_path_used():
+    rng = np.random.RandomState(2)
+    arr = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    assert nd._encode_native(arr) is not None
+    # float input: unsupported by the native path, must not crash encode_png
+    assert nd._encode_native(arr.astype(np.float32)) is None
+
+
+def test_save_prediction_by_index_writes_16bit_png(tmp_path):
+    from cutmix_seg_tpu.data.sources import DataSource
+
+    src = DataSource()
+    src.sample_names = ["val/sample_007"]
+    pred = np.random.RandomState(0).randint(0, 21, (40, 50)).astype(np.int32)
+    src.save_prediction_by_index(str(tmp_path), pred, 0)
+    path = tmp_path / "val" / "sample_007.png"
+    assert path.exists()
+    got = np.array(Image.open(path))
+    np.testing.assert_array_equal(got.astype(np.int64), pred.astype(np.int64))
