@@ -127,3 +127,17 @@ def test_isic_scale_semisup_gain():
         text = open(os.path.join(d, f"log_{run}.txt")).read()
         final[run] = float(re.findall(r"VAL mIoU=([\d.]+)%", text)[-1])
     assert final["semisup"] > final["supervised"]
+
+
+def test_isic_hard_pair_shows_nonsaturated_gain():
+    """The hard-task hardware pair: semisup must beat supervised by a clear
+    margin with neither run saturated (both < 95%)."""
+    d = os.path.join(ROOT, "isic_scale")
+    final = {}
+    for run in ("hard_semisup", "hard_supervised"):
+        text = open(os.path.join(d, f"log_{run}.txt")).read()
+        mious = [float(m) for m in re.findall(r"VAL mIoU=([\d.]+)%", text)]
+        assert len(mious) == 6, "expected 6 epochs"
+        final[run] = mious[-1]
+        assert mious[-1] < 95.0, "hard task must not saturate"
+    assert final["hard_semisup"] - final["hard_supervised"] > 3.0
