@@ -141,3 +141,14 @@ def test_isic_hard_pair_shows_nonsaturated_gain():
         final[run] = mious[-1]
         assert mious[-1] < 95.0, "hard task must not saturate"
     assert final["hard_semisup"] - final["hard_supervised"] > 3.0
+
+
+def test_mfu_profile_artifact_parses():
+    d = json.load(open(os.path.join(ROOT, "mfu_profile.json")))
+    assert d["backend"] == "tpu"
+    fs = d["full_step"]
+    assert fs["xla_flops_per_step"] > 1e13 - 1e12  # ~11.3 TF per step
+    assert 30.0 < fs["effective_tflops"] < d["v5e_bf16_peak_tflops"]
+    assert 15.0 < fs["pct_of_v5e_bf16_peak"] < 100.0
+    assert fs["img_per_sec_per_chip"] > 60.0
+    assert "isolated_conv_caveat" in d
