@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 
 def note(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -26,6 +28,8 @@ def main():
     ap.add_argument("--hw", default="321,321")
     ap.add_argument("--batches", default="1,4,8,16")
     ap.add_argument("--num_classes", type=int, default=21)
+    ap.add_argument("--arch", default="resnet101_deeplab_imagenet",
+                    help="any registry arch name (e.g. densenet161unet_imagenet)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--out", default=None)
     ap.add_argument("--artifact", default="/tmp/serve_bench.jaxexport")
@@ -37,7 +41,7 @@ def main():
     import jax.numpy as jnp
     from cutmix_seg_tpu.core.schedules import make_lr_schedule
     from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
-    from cutmix_seg_tpu.models.deeplab2 import resnet101_deeplab_imagenet
+    from cutmix_seg_tpu.models import registry
     from cutmix_seg_tpu.serve.export import (
         export_serving_artifact,
         load_serving_artifact,
@@ -46,8 +50,8 @@ def main():
     hw = tuple(int(v) for v in args.hw.split(","))
     batches = [int(v) for v in args.batches.split(",")]
 
-    note(f"serve_bench: building model + exporting at {hw}...")
-    model = resnet101_deeplab_imagenet(
+    note(f"serve_bench: building {args.arch} + exporting at {hw}...")
+    model = registry.get(args.arch)(
         num_classes=args.num_classes, dtype=jnp.bfloat16, pretrained=False)
     opt_cfg = OptimizerConfig(
         opt_type="adam", learning_rate=1e-4,
@@ -63,7 +67,8 @@ def main():
 
     call, meta = load_serving_artifact(args.artifact)
     rng = np.random.RandomState(0)
-    results = {"hw": list(hw), "platform": jax.devices()[0].platform,
+    results = {"arch": args.arch, "hw": list(hw),
+               "platform": jax.devices()[0].platform,
                "artifact_mb": round(os.path.getsize(args.artifact) / 1e6, 1),
                "batches": {}}
     for b in batches:

@@ -233,3 +233,38 @@ def test_save_prediction_by_index_writes_16bit_png(tmp_path):
     assert path.exists()
     got = np.array(Image.open(path))
     np.testing.assert_array_equal(got.astype(np.int64), pred.astype(np.int64))
+
+
+def test_fuzz_random_images_parity():
+    """Randomized sweep: many modes/sizes/encoder settings, all bit-equal."""
+    rng = np.random.RandomState(42)
+    for trial in range(60):
+        h, w = int(rng.randint(1, 180)), int(rng.randint(1, 180))
+        mode = ["L", "RGB", "RGBA", "P", "LA"][trial % 5]
+        if mode == "L":
+            img = Image.fromarray(rng.randint(0, 256, (h, w), np.uint8), "L")
+        elif mode == "RGB":
+            img = Image.fromarray(rng.randint(0, 256, (h, w, 3), np.uint8))
+        elif mode == "RGBA":
+            img = Image.fromarray(rng.randint(0, 256, (h, w, 4), np.uint8),
+                                  "RGBA")
+        elif mode == "P":
+            img = Image.fromarray(rng.randint(0, 256, (h, w), np.uint8), "P")
+            img.putpalette([int(v) for v in rng.randint(0, 256, 768)])
+        else:
+            g = rng.randint(0, 256, (h, w, 2), np.uint8)
+            img = Image.fromarray(g, "LA")
+        b = io.BytesIO()
+        img.save(b, "PNG", optimize=bool(trial % 2),
+                 compress_level=int(rng.randint(0, 10)))
+        data = b.getvalue()
+        nat = nd._decode_native(data)
+        assert nat is not None, (trial, mode, h, w)
+        np.testing.assert_array_equal(nat, _ref(data), err_msg=str((trial, mode)))
+        if mode in ("L", "RGB"):
+            b = io.BytesIO()
+            img.save(b, "JPEG", quality=int(rng.randint(10, 101)))
+            data = b.getvalue()
+            nat = nd._decode_native(data)
+            assert nat is not None, (trial, mode, "jpeg")
+            np.testing.assert_array_equal(nat, _ref(data))
