@@ -50,6 +50,15 @@ class MaskConsistencyConfig(ConsistencyCommon):
     # Pallas fused rasterise+blend kernel: 'auto' (on TPU backends),
     # 'on', or 'off' (jnp rasterise + XLA-fused blend)
     pallas_cutmix: str = "auto"
+    # Gradient accumulation: split the step's batch into K sequential
+    # micro-chunks (teacher forward + student fwd/bwd per chunk inside one
+    # lax.scan), cutting peak activation memory ~K-fold so the paper's batch
+    # sizes fit memory-constrained chips. One optimizer + EMA update per
+    # step, gradient = mean of micro-chunk gradients. Masks are sampled for
+    # the FULL batch up-front, so the CutMix stream is identical for every K
+    # (K>1 requires freeze_bn and unsup_batch_ratio == 1; no reference
+    # counterpart — TPU production extra).
+    grad_accum: int = 1
 
 
 def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
@@ -72,6 +81,16 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     Returns step(state, batch, ramp_val) -> (state, metrics).
     """
     use_cons = cfg.cons_weight > 0.0
+    if cfg.grad_accum > 1:
+        if not cfg.freeze_bn:
+            raise ValueError(
+                "grad_accum > 1 requires freeze_bn (BatchNorm statistics "
+                "would otherwise update per micro-chunk)")
+        if cfg.unsup_batch_ratio != 1:
+            raise ValueError(
+                "grad_accum > 1 requires unsup_batch_ratio == 1 (chunking "
+                "must not cut across unsupervised sub-batches)")
+        return _make_accum_step(model, tx, cfg, mesh)
 
     def step(state: TrainState, batch, ramp_val):
         # k_drop_tea: the reference's teacher runs in train() mode, so
@@ -186,6 +205,137 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
             state.student.params
         )
         new_state = finish_step(state, tx, grads, new_stu_stats,
+                                tea_state.params, tea_stats, cfg, rng)
+        return new_state, metrics
+
+    return step
+
+
+def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
+    """grad_accum > 1 variant: one optimizer step whose batch is processed
+    as K sequential micro-chunks inside lax.scan. Masks / CutMix blending
+    are computed for the full batch up-front (cheap, element-wise), so the
+    random-mask stream is independent of K; the teacher forward and student
+    fwd+bwd run per chunk, bounding peak activation memory to one chunk.
+    Gradient = mean over chunk gradients (the standard accumulation
+    contract; equal to the unchunked gradient up to f32 reduction order when
+    valid-pixel counts are chunk-uniform)."""
+    use_cons = cfg.cons_weight > 0.0
+    K = cfg.grad_accum
+
+    def step(state: TrainState, batch, ramp_val):
+        rng, k_mask, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
+            state.rng, 5)
+        tea_state = state.teacher if cfg.mean_teacher else state.student
+        tea_stats = tea_state.batch_stats
+        n_sup = batch["sup_x"].shape[0]
+        if n_sup % K != 0:
+            raise ValueError(f"batch size {n_sup} not divisible by "
+                             f"grad_accum={K}")
+
+        def chunk(x):
+            return x.reshape((K, x.shape[0] // K) + x.shape[1:])
+
+        scan_in = {"sup_x": chunk(batch["sup_x"]),
+                   "sup_y": chunk(batch["sup_y"]),
+                   "i": jnp.arange(K)}
+        if use_cons:
+            if cfg.mask_mode == "mix":
+                ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
+                n, hw = ux_stu0.shape[0], ux_stu0.shape[1:3]
+                use_pallas = cfg.pallas_cutmix == "on" or (
+                    cfg.pallas_cutmix == "auto"
+                    and jax.default_backend() in ("tpu", "axon"))
+                if use_pallas:
+                    rects = sample_box_rects(cfg.box, k_mask, n, hw)
+                    x_stu_cons, m = cutmix_blend_sharded(
+                        ux_stu0, ux_stu1, rects, invert=cfg.box.invert,
+                        mesh=mesh)
+                else:
+                    m = sample_masks(cfg.box, k_mask, n, hw,
+                                     dtype=ux_stu0.dtype)
+                    x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
+                loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
+                scan_in["tea_in"] = jnp.concatenate(
+                    [chunk(batch["ux0_tea"]), chunk(batch["ux1_tea"])],
+                    axis=1)
+            else:  # 'zero'
+                ux_stu = batch["ux_stu"]
+                n, hw = ux_stu.shape[0], ux_stu.shape[1:3]
+                m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu.dtype)
+                x_stu_cons = ux_stu * m
+                loss_mask = m * batch["um"]
+                scan_in["tea_in"] = chunk(batch["ux_tea"])
+            scan_in["m"] = chunk(m.astype(jnp.float32))
+            scan_in["x_cons"] = chunk(x_stu_cons)
+            scan_in["loss_mask"] = chunk(loss_mask.astype(jnp.float32))
+
+        def one_chunk(carry, inp):
+            grads_acc, metrics_acc = carry
+            i = inp["i"]
+            conf_px = logits_tea = None
+            if use_cons:
+                tea_out, _ = apply_model(
+                    model, tea_state.params, tea_stats, inp["tea_in"],
+                    train=True, freeze_bn=True,
+                    rng=jax.random.fold_in(k_drop_tea, i))
+                tea_out = jax.lax.stop_gradient(tea_out.astype(jnp.float32))
+                if cfg.mask_mode == "mix":
+                    nc = inp["x_cons"].shape[0]
+                    logits_tea = (tea_out[:nc] * (1.0 - inp["m"])
+                                  + tea_out[nc:] * inp["m"])
+                else:
+                    logits_tea = tea_out
+                prob_tea = jax.nn.softmax(logits_tea, axis=-1)
+                conf_px = confidence_px(
+                    cfg, prob_tea.max(axis=-1, keepdims=True))
+
+            def loss_fn(params):
+                metrics = {}
+                if use_cons:
+                    ns = inp["sup_x"].shape[0]
+                    logits_all, _ = apply_model(
+                        model, params, state.student.batch_stats,
+                        jnp.concatenate([inp["sup_x"], inp["x_cons"]]),
+                        train=True, freeze_bn=True,
+                        rng=jax.random.fold_in(k_drop_sup, i))
+                    logits_sup, logits_stu = logits_all[:ns], logits_all[ns:]
+                else:
+                    logits_sup, _ = apply_model(
+                        model, params, state.student.batch_stats,
+                        inp["sup_x"], train=True, freeze_bn=True,
+                        rng=jax.random.fold_in(k_drop_sup, i))
+                sup_loss = L.cross_entropy_ignore(
+                    logits_sup, inp["sup_y"], cfg.ignore_value)
+                metrics["sup_loss"] = sup_loss
+                total = sup_loss
+                if use_cons:
+                    per_px = L.consistency_loss_per_pixel(
+                        cfg.cons_loss_fn, logits_stu, logits_tea)
+                    loss_sum, loss_mean, conf_rate = masked_consistency(
+                        cfg, per_px, inp["loss_mask"], conf_px)
+                    total = total + loss_sum * ramp_val * cfg.cons_weight
+                    metrics["cons_loss"] = loss_mean
+                    metrics["conf_rate"] = conf_rate
+                return total, metrics
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.student.params)
+            return (jax.tree_util.tree_map(jnp.add, grads_acc, grads),
+                    jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)), None
+
+        zero_grads = jax.tree_util.tree_map(
+            jnp.zeros_like, state.student.params)
+        zero_metrics = {"sup_loss": jnp.float32(0.0)}
+        if use_cons:
+            zero_metrics.update(cons_loss=jnp.float32(0.0),
+                                conf_rate=jnp.float32(0.0))
+        (grads, metrics), _ = jax.lax.scan(
+            one_chunk, (zero_grads, zero_metrics), scan_in)
+        grads = jax.tree_util.tree_map(lambda g: g / K, grads)
+        metrics = jax.tree_util.tree_map(lambda v: v / K, metrics)
+        # frozen BN: student batch_stats are unchanged by construction
+        new_state = finish_step(state, tx, grads, state.student.batch_stats,
                                 tea_state.params, tea_stats, cfg, rng)
         return new_state, metrics
 

@@ -342,3 +342,61 @@ def test_all_steps_support_dropout_models():
     s2, metrics = jax.jit(make_aug_cons_step(model, tx, AugConsConfig(
         **common)))(state, batch, ramp)
     assert _np.isfinite(float(metrics["cons_loss"]))
+
+
+@pytest.mark.parametrize("mode,conf", [("mix", 0.0), ("mix", 0.5),
+                                       ("zero", 0.0)])
+def test_grad_accum_equivalent_to_single_step(mode, conf):
+    """grad_accum=2 must reproduce the unchunked step: identical mask stream
+    (full-batch sampling), gradient = mean of chunk gradients == unchunked
+    gradient when reductions are chunk-decomposable (R=1, per-pixel conf)."""
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    rng = _np.random.RandomState(0)
+    batch = make_batch(rng, b=4, hw=(17, 17), mode=mode)
+    ramp = jnp.float32(1.0)
+
+    common = dict(mask_mode=mode, cons_weight=1.0, conf_thresh=conf,
+                  conf_per_pixel=True, freeze_bn=True, mean_teacher=True,
+                  pallas_cutmix="off")
+    s1, m1 = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(**common)))(state, batch, ramp)
+    s2, m2 = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(grad_accum=2, **common)))(
+        state, batch, ramp)
+
+    for k in m1:
+        _np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                    err_msg=k)
+    p1 = jax.tree_util.tree_leaves(s1.student.params)
+    p2 = jax.tree_util.tree_leaves(s2.student.params)
+    for a, b in zip(p1, p2):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=5e-5, rtol=2e-3)
+    # EMA teacher advanced identically too
+    t1 = jax.tree_util.tree_leaves(s1.teacher.params)
+    t2 = jax.tree_util.tree_leaves(s2.teacher.params)
+    for a, b in zip(t1, t2):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=5e-5, rtol=2e-3)
+
+
+def test_grad_accum_validation():
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    _, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    with pytest.raises(ValueError, match="freeze_bn"):
+        make_mask_mt_step(model, tx, MaskConsistencyConfig(
+            grad_accum=2, freeze_bn=False))
+    with pytest.raises(ValueError, match="unsup_batch_ratio"):
+        make_mask_mt_step(model, tx, MaskConsistencyConfig(
+            grad_accum=2, freeze_bn=True, unsup_batch_ratio=2))

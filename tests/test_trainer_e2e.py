@@ -436,3 +436,18 @@ def test_trainer_end_to_end_block32_dropout_arch(tiny_zip, tmp_path,
     log = (tmp_path / "results" / "test_block32_dropout" / "r"
            / "log_r.txt").read_text()
     assert "Epoch 1:" in log and "VAL mIoU=" in log
+
+
+def test_mask_mt_trainer_grad_accum(tiny_zip, tmp_path, monkeypatch):
+    """--grad_accum 2: the full trainer runs with the chunked step (one
+    optimizer update per iteration, half-batch peak activations)."""
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    job.submit(
+        "test_mask_mt_ga", "run1", train_seg_semisup_mask_mt,
+        _params(tiny_zip, grad_accum=2, num_epochs=1, save_model=False),
+        results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / "test_mask_mt_ga" / "run1"
+           / "log_run1.txt").read_text()
+    assert "Epoch 1:" in log and "VAL mIoU=" in log
