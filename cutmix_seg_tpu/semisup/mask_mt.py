@@ -61,6 +61,36 @@ class MaskConsistencyConfig(ConsistencyCommon):
     grad_accum: int = 1
 
 
+def _mix_geometry(cfg: MaskConsistencyConfig, batch, k_mask, mesh):
+    """Full-batch mask sampling + blending shared by the plain and
+    grad-accum steps: returns (x_stu_cons, m, loss_mask) for 'mix'/'zero'.
+    Raises on unknown mask_mode."""
+    if cfg.mask_mode == "mix":
+        ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
+        n, hw = ux_stu0.shape[0], ux_stu0.shape[1:3]
+        use_pallas = cfg.pallas_cutmix == "on" or (
+            cfg.pallas_cutmix == "auto"
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        if use_pallas:
+            rects = sample_box_rects(cfg.box, k_mask, n, hw)
+            x_stu_cons, m = cutmix_blend_sharded(
+                ux_stu0, ux_stu1, rects, invert=cfg.box.invert, mesh=mesh)
+        else:
+            m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu0.dtype)
+            x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
+        loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
+    elif cfg.mask_mode == "zero":
+        ux_stu = batch["ux_stu"]
+        n, hw = ux_stu.shape[0], ux_stu.shape[1:3]
+        m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu.dtype)
+        x_stu_cons = ux_stu * m
+        loss_mask = m * batch["um"]
+    else:
+        raise ValueError(f"unknown mask_mode {cfg.mask_mode!r}")
+    return x_stu_cons, m, loss_mask
+
+
 def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     """Build the jittable step function.
 
@@ -103,22 +133,9 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
 
         # ---- teacher forwards + mixing geometry: all outside the grad ----
         if use_cons:
+            x_stu_cons, m, loss_mask = _mix_geometry(cfg, batch, k_mask, mesh)
             if cfg.mask_mode == "mix":
-                ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
-                n, hw = ux_stu0.shape[0], ux_stu0.shape[1:3]
-                use_pallas = cfg.pallas_cutmix == "on" or (
-                    cfg.pallas_cutmix == "auto"
-                    and jax.default_backend() in ("tpu", "axon")
-                )
-                if use_pallas:
-                    rects = sample_box_rects(cfg.box, k_mask, n, hw)
-                    x_stu_cons, m = cutmix_blend_sharded(
-                        ux_stu0, ux_stu1, rects, invert=cfg.box.invert,
-                        mesh=mesh)
-                else:
-                    m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu0.dtype)
-                    x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
-                loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
+                n = batch["ux0_stu"].shape[0]
                 # reference runs the teacher in train() mode (BN stats update
                 # unless frozen; train_seg_semisup_mask_mt.py:268-275,354-356)
                 if cfg.freeze_bn:
@@ -140,17 +157,10 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                         train=True, freeze_bn=cfg.freeze_bn,
                         rng=jax.random.fold_in(k_drop_tea, 1))
                 logits_tea = tea0 * (1.0 - m) + tea1 * m
-            elif cfg.mask_mode == "zero":
-                ux_stu = batch["ux_stu"]
-                n, hw = ux_stu.shape[0], ux_stu.shape[1:3]
-                m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu.dtype)
-                x_stu_cons = ux_stu * m
-                loss_mask = m * batch["um"]
+            else:  # 'zero' (unknown modes rejected by _mix_geometry)
                 logits_tea, tea_stats = apply_model(
                     model, tea_state.params, tea_stats, batch["ux_tea"],
                     train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
-            else:
-                raise ValueError(f"unknown mask_mode {cfg.mask_mode!r}")
             logits_tea = jax.lax.stop_gradient(logits_tea.astype(jnp.float32))
             prob_tea = jax.nn.softmax(logits_tea, axis=-1)
             conf_px = confidence_px(cfg, prob_tea.max(axis=-1, keepdims=True))
@@ -217,11 +227,24 @@ def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     are computed for the full batch up-front (cheap, element-wise), so the
     random-mask stream is independent of K; the teacher forward and student
     fwd+bwd run per chunk, bounding peak activation memory to one chunk.
-    Gradient = mean over chunk gradients (the standard accumulation
-    contract; equal to the unchunked gradient up to f32 reduction order when
-    valid-pixel counts are chunk-uniform)."""
+    Gradient = mean over chunk gradients — the standard accumulation
+    contract. It equals the unchunked gradient up to f32 reduction order
+    when the per-batch reductions decompose over chunks (uniform valid-pixel
+    counts; per-pixel or disabled confidence gating). With the batch-mean
+    confidence gate (conf_per_pixel=False, the paper default) each chunk is
+    gated by its OWN mean confidence — a documented, warned deviation."""
     use_cons = cfg.cons_weight > 0.0
     K = cfg.grad_accum
+    if use_cons and cfg.conf_thresh > 0.0 and not cfg.conf_per_pixel:
+        import warnings
+
+        warnings.warn(
+            "grad_accum > 1 with the batch-mean confidence gate "
+            "(conf_per_pixel=False): each micro-chunk is gated by its own "
+            "mean confidence rather than the full batch's, so the gradient "
+            "is the standard accumulation average, not bit-equal to "
+            "grad_accum=1. Pass conf_per_pixel=True for exact chunk "
+            "decomposition.", stacklevel=3)
 
     def step(state: TrainState, batch, ramp_val):
         rng, k_mask, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
@@ -234,37 +257,29 @@ def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                              f"grad_accum={K}")
 
         def chunk(x):
-            return x.reshape((K, x.shape[0] // K) + x.shape[1:])
+            # STRIDED chunks (chunk k = x[k::K]): under a data-sharded mesh
+            # every chunk stays spread across all devices (contiguous blocks
+            # would land on a subset and force a reshard per scan step);
+            # the gradient mean is permutation-invariant, so chunk
+            # composition is free to choose.
+            return jnp.swapaxes(
+                x.reshape((x.shape[0] // K, K) + x.shape[1:]), 0, 1)
 
         scan_in = {"sup_x": chunk(batch["sup_x"]),
                    "sup_y": chunk(batch["sup_y"]),
                    "i": jnp.arange(K)}
         if use_cons:
+            x_stu_cons, m, loss_mask = _mix_geometry(cfg, batch, k_mask, mesh)
+            if batch["sup_x"].shape[1:] != x_stu_cons.shape[1:]:
+                raise ValueError(
+                    "grad_accum > 1 requires matching supervised/"
+                    f"unsupervised crop shapes, got {batch['sup_x'].shape[1:]}"
+                    f" vs {x_stu_cons.shape[1:]}")
             if cfg.mask_mode == "mix":
-                ux_stu0, ux_stu1 = batch["ux0_stu"], batch["ux1_stu"]
-                n, hw = ux_stu0.shape[0], ux_stu0.shape[1:3]
-                use_pallas = cfg.pallas_cutmix == "on" or (
-                    cfg.pallas_cutmix == "auto"
-                    and jax.default_backend() in ("tpu", "axon"))
-                if use_pallas:
-                    rects = sample_box_rects(cfg.box, k_mask, n, hw)
-                    x_stu_cons, m = cutmix_blend_sharded(
-                        ux_stu0, ux_stu1, rects, invert=cfg.box.invert,
-                        mesh=mesh)
-                else:
-                    m = sample_masks(cfg.box, k_mask, n, hw,
-                                     dtype=ux_stu0.dtype)
-                    x_stu_cons = ux_stu0 * (1.0 - m) + ux_stu1 * m
-                loss_mask = batch["um0"] * (1.0 - m) + batch["um1"] * m
                 scan_in["tea_in"] = jnp.concatenate(
                     [chunk(batch["ux0_tea"]), chunk(batch["ux1_tea"])],
                     axis=1)
             else:  # 'zero'
-                ux_stu = batch["ux_stu"]
-                n, hw = ux_stu.shape[0], ux_stu.shape[1:3]
-                m = sample_masks(cfg.box, k_mask, n, hw, dtype=ux_stu.dtype)
-                x_stu_cons = ux_stu * m
-                loss_mask = m * batch["um"]
                 scan_in["tea_in"] = chunk(batch["ux_tea"])
             scan_in["m"] = chunk(m.astype(jnp.float32))
             scan_in["x_cons"] = chunk(x_stu_cons)

@@ -51,8 +51,14 @@ def main():
     batches = [int(v) for v in args.batches.split(",")]
 
     note(f"serve_bench: building {args.arch} + exporting at {hw}...")
-    model = registry.get(args.arch)(
-        num_classes=args.num_classes, dtype=jnp.bfloat16, pretrained=False)
+    import inspect
+
+    factory = registry.get(args.arch)
+    kwargs = {"num_classes": args.num_classes, "dtype": jnp.bfloat16}
+    # not every registry factory takes `pretrained` (e.g. densenet161unet)
+    if "pretrained" in inspect.signature(factory).parameters:
+        kwargs["pretrained"] = False
+    model = factory(**kwargs)
     opt_cfg = OptimizerConfig(
         opt_type="adam", learning_rate=1e-4,
         lr_schedule=make_lr_schedule("none", 1e-4, 10))

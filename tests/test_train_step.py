@@ -400,3 +400,38 @@ def test_grad_accum_validation():
     with pytest.raises(ValueError, match="unsup_batch_ratio"):
         make_mask_mt_step(model, tx, MaskConsistencyConfig(
             grad_accum=2, freeze_bn=True, unsup_batch_ratio=2))
+
+
+def test_grad_accum_guards_and_warning():
+    """Accum path parity guards: unknown mask_mode raises the same explicit
+    error as K=1, crop-shape mismatch raises a pointed error, and the
+    batch-mean confidence gate emits the semantics warning at build time."""
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    rng = _np.random.RandomState(0)
+    ramp = jnp.float32(1.0)
+    common = dict(cons_weight=1.0, freeze_bn=True, mean_teacher=True,
+                  pallas_cutmix="off", grad_accum=2)
+
+    step = make_mask_mt_step(model, tx, MaskConsistencyConfig(
+        mask_mode="bogus", conf_thresh=0.0, **common))
+    with pytest.raises(ValueError, match="unknown mask_mode"):
+        step(state, make_batch(rng, b=4, hw=(17, 17), mode="mix"), ramp)
+
+    step = make_mask_mt_step(model, tx, MaskConsistencyConfig(
+        mask_mode="mix", conf_thresh=0.0, **common))
+    batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
+    batch["sup_x"] = batch["sup_x"][:, :9, :9]  # sup crop != unsup crop
+    batch["sup_y"] = batch["sup_y"][:, :9, :9]
+    with pytest.raises(ValueError, match="matching supervised"):
+        step(state, batch, ramp)
+
+    with pytest.warns(UserWarning, match="batch-mean confidence gate"):
+        make_mask_mt_step(model, tx, MaskConsistencyConfig(
+            mask_mode="mix", conf_thresh=0.97, conf_per_pixel=False,
+            **common))
