@@ -62,3 +62,23 @@ def test_cityscapes_zip_generator_is_source_valid(tmp_path, task):
     assert img.shape == (64, 128, 3) and img.dtype == np.uint8
     valid = lab[lab != 255]
     assert valid.size and valid.min() >= 0 and valid.max() < 19
+
+
+def test_voc_tree_generator_is_source_valid(tmp_path):
+    from cutmix_seg_tpu.data.sources import PascalVOCDataSource
+
+    mod = _load("tpu_e2e_voc")
+    root = mod.make_voc_tree(str(tmp_path / "VOC2012"), n_train=3, n_val=2,
+                             seed=1)
+    src = PascalVOCDataSource(n_val=0, val_rng=np.random.RandomState(0),
+                              trainval_perm=None, root=root)
+    assert src.num_classes == 21
+    assert len(src.train_ndx) == 3 and len(src.val_ndx) == 2
+    i = int(src.train_ndx[0])
+    img, lab = src.get_image(i), src.get_labels(i)
+    assert img.ndim == 3 and img.dtype == np.uint8
+    assert max(img.shape[:2]) == 500 and min(img.shape[:2]) < 500
+    assert img.shape[:2] == lab.shape
+    valid = lab[lab != 255]
+    assert valid.size and valid.max() <= 20
+    assert (lab == 255).any(), "VOC-style boundary band expected"
