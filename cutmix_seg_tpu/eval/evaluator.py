@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from cutmix_seg_tpu.aug.device import normalise
 from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.mask_mt import apply_model
-from cutmix_seg_tpu.utils.fn_cache import FnCache
+from cutmix_seg_tpu.utils.fn_cache import FnCache, stable_ident
 
 
 def normalise_eval_batch(batch, mean, std):
@@ -56,7 +56,7 @@ def make_sharded_eval_fn(model, num_classes, mean, std, mesh,
     them."""
     from cutmix_seg_tpu.parallel.mesh import jit_sharded_eval
 
-    key = ("cm", id(model), id(mesh), num_classes, ignore_value,
+    key = ("cm", stable_ident(model), stable_ident(mesh), num_classes, ignore_value,
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
 
     def build():
@@ -82,7 +82,7 @@ def make_sharded_predict_fn(model, mean, std, mesh):
     all-gather of int32 argmaxes is cheap next to the forward."""
     from cutmix_seg_tpu.parallel.mesh import batch_sharding, replicated
 
-    key = ("pred", id(model), id(mesh),
+    key = ("pred", stable_ident(model), stable_ident(mesh),
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
 
     def build():
@@ -126,7 +126,7 @@ _predict_cache = {}
 
 def predict_fn(model, model_state, x):
     """Jitted argmax prediction (compiled once per model object)."""
-    f = _predict_cache.get(id(model))
+    f = _predict_cache.get(stable_ident(model))
     if f is None:
         def raw(params, batch_stats, x):
             logits, _ = apply_model(model, params, batch_stats, x,
@@ -134,5 +134,5 @@ def predict_fn(model, model_state, x):
             return jnp.argmax(logits, axis=-1)
 
         f = jax.jit(raw)
-        _predict_cache[id(model)] = f
+        _predict_cache[stable_ident(model)] = f
     return f(model_state.params, model_state.batch_stats, x)

@@ -94,8 +94,16 @@ def _load():
                 "unavailable") from _lib_error
         return None
     with _lock:
-        if _lib is not None or _lib_failed:
-            return None if _lib is None else _lib
+        if _lib is not None:
+            return _lib
+        if _lib_failed:
+            # a thread that lost the init race must honour require-native the
+            # same way the outside-lock path does, not silently fall to PIL
+            if _lib_error is not None and _require_native():
+                raise RuntimeError(
+                    "CUTMIX_SEG_NATIVE_DECODE=1 but the native decoder is "
+                    "unavailable") from _lib_error
+            return None
         mode = os.environ.get("CUTMIX_SEG_NATIVE_DECODE", "auto")
         if mode == "0":
             _lib_failed = True
@@ -216,8 +224,16 @@ def encode_png(arr: np.ndarray) -> bytes:
     from PIL import Image
 
     if arr.dtype in (np.uint32, np.int32, np.int64):
-        if arr.ndim == 2 and arr.min() >= 0 and arr.max() < 65536:
+        if (arr.ndim == 2 and arr.size > 0
+                and arr.min() >= 0 and arr.max() < 65536):
             arr = arr.astype(np.uint16)
+        else:
+            # PIL's fromarray rejects '<i8' etc. with an opaque KeyError;
+            # fail with an actionable message instead
+            raise ValueError(
+                f"encode_png: cannot narrow {arr.dtype} array of shape "
+                f"{arr.shape} to uint16 (need 2-D, non-empty, values in "
+                f"[0, 65536)); convert explicitly before encoding")
     data = _encode_native(arr)
     if data is not None:
         return data

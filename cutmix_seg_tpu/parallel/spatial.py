@@ -36,7 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from cutmix_seg_tpu.eval.evaluator import normalise_eval_batch
 from cutmix_seg_tpu.ops.iou import confusion_matrix
 from cutmix_seg_tpu.semisup.stepcore import apply_model
-from cutmix_seg_tpu.utils.fn_cache import FnCache
+from cutmix_seg_tpu.utils.fn_cache import FnCache, stable_ident
 
 __all__ = [
     "spatial_spec",
@@ -132,7 +132,7 @@ def jit_spatial_forward(model, mesh):
 
         return jax.jit(fwd, in_shardings=(repl, sp), out_shardings=sp)
 
-    return _cached(("fwd", id(model), id(mesh)), build)
+    return _cached(("fwd", stable_ident(model), stable_ident(mesh)), build)
 
 
 def make_spatial_predict_fn(model, mean, std, mesh):
@@ -159,7 +159,7 @@ def make_spatial_predict_fn(model, mean, std, mesh):
         return jax.jit(raw, in_shardings=(repl, in_batch_sh),
                        out_shardings=(repl, repl))
 
-    key = ("pred", id(model), id(mesh),
+    key = ("pred", stable_ident(model), stable_ident(mesh),
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
     return _cached(key, build)
 
@@ -191,6 +191,6 @@ def make_spatial_eval_fn(model, num_classes, mean, std, mesh,
         return jax.jit(eval_fn, in_shardings=(repl, in_batch_sh),
                        out_shardings=repl)
 
-    key = ("cm", id(model), id(mesh), num_classes, ignore_value,
+    key = ("cm", stable_ident(model), stable_ident(mesh), num_classes, ignore_value,
            tuple(jnp.asarray(mean).tolist()), tuple(jnp.asarray(std).tolist()))
     return _cached(key, build)

@@ -230,9 +230,16 @@ def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     Gradient = mean over chunk gradients — the standard accumulation
     contract. It equals the unchunked gradient up to f32 reduction order
     when the per-batch reductions decompose over chunks (uniform valid-pixel
-    counts; per-pixel or disabled confidence gating). With the batch-mean
-    confidence gate (conf_per_pixel=False, the paper default) each chunk is
-    gated by its OWN mean confidence — a documented, warned deviation."""
+    counts; per-pixel or disabled confidence gating). Two documented
+    deviations from K=1 otherwise:
+      * batch-mean confidence gate (conf_per_pixel=False, the paper default):
+        each chunk is gated by its OWN mean confidence (warned below);
+      * supervised CE on ignore-label datasets (VOC-style 255 labels):
+        cross_entropy_ignore normalises by each chunk's valid-pixel count, so
+        the accumulated gradient is a mean of per-chunk means, not the
+        full-batch valid-pixel mean — chunks with fewer valid pixels weigh
+        their pixels more. Both are the standard grad-accum semantics
+        (identical to running K sequential small batches)."""
     use_cons = cfg.cons_weight > 0.0
     K = cfg.grad_accum
     if use_cons and cfg.conf_thresh > 0.0 and not cfg.conf_per_pixel:

@@ -9,7 +9,37 @@ bound.
 from __future__ import annotations
 
 import collections
+import itertools
+import threading
+import weakref
 from typing import Callable
+
+_ident_lock = threading.Lock()
+_ident_gen = itertools.count()
+_ident_live: dict = {}  # id(obj) -> (weakref, generation)
+
+
+def stable_ident(obj) -> int:
+    """Monotonic generation id for a live object.
+
+    ``id()`` alone is unsafe as a cache key: once the object is collected a
+    NEW object can reuse the same address and the cache would return a jitted
+    function closed over the dead one. Here a weakref callback evicts the
+    (address -> generation) entry on collection, so an address reuse maps to a
+    FRESH generation. Objects that do not support weakrefs fall back to the
+    raw id (documented best-effort, same behaviour as before)."""
+    key = id(obj)
+    with _ident_lock:
+        ent = _ident_live.get(key)
+        if ent is not None and ent[0]() is obj:
+            return ent[1]
+        gen = next(_ident_gen)
+        try:
+            ref = weakref.ref(obj, lambda _r, key=key: _ident_live.pop(key, None))
+        except TypeError:
+            return key
+        _ident_live[key] = (ref, gen)
+        return gen
 
 
 class FnCache:
