@@ -43,11 +43,38 @@ class AugConsConfig(ConsistencyCommon):
     pass
 
 
+def _aug_per_px(cfg, logits_stu, logits_tea_in_stu, prob_tea_in_stu):
+    """The aug_mt consistency-loss menu: targets are the WARPED teacher
+    quantities — probs for prob-space losses, logits for logit-space losses.
+    Shared by the K=1 and grad-accum steps."""
+    lf = cfg.cons_loss_fn
+    if lf == "var":
+        d = jax.nn.softmax(logits_stu, axis=-1) - prob_tea_in_stu
+        return (d * d).sum(axis=-1, keepdims=True)
+    if lf in ("logits_var", "logits_smoothl1"):
+        return L.consistency_loss_per_pixel(lf, logits_stu, logits_tea_in_stu)
+    if lf == "bce":
+        return L.robust_binary_crossentropy(
+            jax.nn.softmax(logits_stu, axis=-1), prob_tea_in_stu
+        ).sum(axis=-1, keepdims=True)
+    if lf == "kld":
+        logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
+        safe = jnp.maximum(prob_tea_in_stu, 1e-20)
+        return (prob_tea_in_stu * (jnp.log(safe) - logp_stu)).sum(
+            axis=-1, keepdims=True)
+    raise ValueError(f"unknown consistency loss {lf!r}")
+
+
 def make_aug_cons_step(model, tx, cfg: AugConsConfig):
     """batch: sup_x, sup_y, ux0 (teacher image), ux1 (student image),
     um0, um1, xf0_to_1 (grid-space (N,2,3)). Returns
     step(state, batch, ramp_val)."""
     use_cons = cfg.cons_weight > 0.0
+    if cfg.grad_accum > 1:
+        from cutmix_seg_tpu.semisup.stepcore import validate_accum
+
+        validate_accum(cfg, "aug_mt")
+        return _make_accum_step(model, tx, cfg)
 
     def step(state: TrainState, batch, ramp_val):
         # k_drop_tea: teacher runs in train() mode per the reference
@@ -90,27 +117,8 @@ def make_aug_cons_step(model, tx, cfg: AugConsConfig):
                     model, params, stats, x1,
                     train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns)
                 logits_stu = logits_stu.astype(jnp.float32)
-                lf = cfg.cons_loss_fn
-                # targets are the WARPED teacher quantities: probs for
-                # prob-space losses, logits for logit-space losses
-                if lf == "var":
-                    d = jax.nn.softmax(logits_stu, axis=-1) - prob_tea_in_stu
-                    per_px = (d * d).sum(axis=-1, keepdims=True)
-                elif lf in ("logits_var", "logits_smoothl1"):
-                    per_px = L.consistency_loss_per_pixel(
-                        lf, logits_stu, logits_tea_in_stu)
-                elif lf == "bce":
-                    per_px = L.robust_binary_crossentropy(
-                        jax.nn.softmax(logits_stu, axis=-1), prob_tea_in_stu
-                    ).sum(axis=-1, keepdims=True)
-                elif lf == "kld":
-                    logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
-                    safe = jnp.maximum(prob_tea_in_stu, 1e-20)
-                    per_px = (prob_tea_in_stu * (jnp.log(safe) - logp_stu)).sum(
-                        axis=-1, keepdims=True)
-                else:
-                    raise ValueError(f"unknown consistency loss {lf!r}")
-
+                per_px = _aug_per_px(cfg, logits_stu, logits_tea_in_stu,
+                                     prob_tea_in_stu)
                 loss_sum, loss_mean, conf_rate = masked_consistency(
                     cfg, per_px, loss_mask, conf_px)
                 total = total + loss_sum * ramp_val * cfg.cons_weight
@@ -121,6 +129,96 @@ def make_aug_cons_step(model, tx, cfg: AugConsConfig):
         grads, (new_stu_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.student.params)
         new_state = finish_step(state, tx, grads, new_stu_stats,
+                                tea_state.params, tea_stats, cfg, rng)
+        return new_state, metrics
+
+    return step
+
+
+def _make_accum_step(model, tx, cfg: AugConsConfig):
+    """grad_accum > 1 aug_mt: the pair transform, teacher forward + warp, and
+    student fwd+bwd are all per-sample operations, so they chunk exactly; the
+    teacher forward and warps run per micro-chunk inside lax.scan. See
+    semisup/mask_mt.py::_make_accum_step for the shared accumulation
+    semantics (strided chunks, mean-of-chunk gradients, training-BN stats
+    threading, documented gate/CE deviations)."""
+    from cutmix_seg_tpu.semisup.stepcore import (
+        accum_zero_metrics,
+        chunk_strided,
+        run_accum_scan,
+    )
+
+    use_cons = cfg.cons_weight > 0.0
+    K = cfg.grad_accum
+
+    def step(state: TrainState, batch, ramp_val):
+        rng, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
+            state.rng, 4)
+        tea_state = state.teacher if cfg.mean_teacher else state.student
+
+        def chunk(x):
+            return chunk_strided(x, K)
+
+        scan_in = {"sup_x": chunk(batch["sup_x"]),
+                   "sup_y": chunk(batch["sup_y"])}
+        if use_cons:
+            scan_in.update(
+                ux0=chunk(batch["ux0"]), ux1=chunk(batch["ux1"]),
+                um0=chunk(batch["um0"].astype(jnp.float32)),
+                um1=chunk(batch["um1"].astype(jnp.float32)),
+                xf=chunk(batch["xf0_to_1"].astype(jnp.float32)))
+
+        def one_chunk(stu_stats, tea_stats, inp):
+            i = inp["i"]
+            if use_cons:
+                hw = inp["ux1"].shape[1:3]
+                logits_tea, tea_stats = apply_model(
+                    model, tea_state.params, tea_stats, inp["ux0"],
+                    train=True, freeze_bn=cfg.freeze_bn,
+                    rng=jax.random.fold_in(k_drop_tea, i))
+                logits_tea = jax.lax.stop_gradient(
+                    logits_tea.astype(jnp.float32))
+                prob_tea = jax.nn.softmax(logits_tea, axis=-1)
+                logits_tea_in_stu = grid_sample_affine(
+                    logits_tea, inp["xf"], hw)
+                prob_tea_in_stu = grid_sample_affine(prob_tea, inp["xf"], hw)
+                um0_in_stu = grid_sample_affine(inp["um0"], inp["xf"], hw)
+                loss_mask = um0_in_stu * inp["um1"]
+                conf_px = confidence_px(
+                    cfg, prob_tea_in_stu.max(axis=-1, keepdims=True))
+
+            def loss_fn(params):
+                logits_sup, stats = apply_model(
+                    model, params, stu_stats, inp["sup_x"],
+                    train=True, freeze_bn=cfg.freeze_bn,
+                    rng=jax.random.fold_in(k_drop_sup, i))
+                sup_loss = L.cross_entropy_ignore(
+                    logits_sup, inp["sup_y"], cfg.ignore_value)
+                metrics = {"sup_loss": sup_loss}
+                total = sup_loss
+                if use_cons:
+                    logits_stu, stats = apply_model(
+                        model, params, stats, inp["ux1"],
+                        train=True, freeze_bn=cfg.freeze_bn,
+                        rng=jax.random.fold_in(k_drop_uns, i))
+                    logits_stu = logits_stu.astype(jnp.float32)
+                    per_px = _aug_per_px(cfg, logits_stu, logits_tea_in_stu,
+                                         prob_tea_in_stu)
+                    loss_sum, loss_mean, conf_rate = masked_consistency(
+                        cfg, per_px, loss_mask, conf_px)
+                    total = total + loss_sum * ramp_val * cfg.cons_weight
+                    metrics["cons_loss"] = loss_mean
+                    metrics["conf_rate"] = conf_rate
+                return total, (stats, metrics)
+
+            grads, (new_stu_stats, metrics) = jax.grad(
+                loss_fn, has_aux=True)(state.student.params)
+            return grads, new_stu_stats, tea_stats, metrics
+
+        grads, metrics, stu_stats, tea_stats = run_accum_scan(
+            K, state.student.params, accum_zero_metrics(use_cons), scan_in,
+            one_chunk, state.student.batch_stats, tea_state.batch_stats)
+        new_state = finish_step(state, tx, grads, stu_stats,
                                 tea_state.params, tea_stats, cfg, rng)
         return new_state, metrics
 

@@ -50,15 +50,8 @@ class MaskConsistencyConfig(ConsistencyCommon):
     # Pallas fused rasterise+blend kernel: 'auto' (on TPU backends),
     # 'on', or 'off' (jnp rasterise + XLA-fused blend)
     pallas_cutmix: str = "auto"
-    # Gradient accumulation: split the step's batch into K sequential
-    # micro-chunks (teacher forward + student fwd/bwd per chunk inside one
-    # lax.scan), cutting peak activation memory ~K-fold so the paper's batch
-    # sizes fit memory-constrained chips. One optimizer + EMA update per
-    # step, gradient = mean of micro-chunk gradients. Masks are sampled for
-    # the FULL batch up-front, so the CutMix stream is identical for every K
-    # (K>1 requires freeze_bn and unsup_batch_ratio == 1; no reference
-    # counterpart — TPU production extra).
-    grad_accum: int = 1
+    # grad_accum inherited from ConsistencyCommon; masks are sampled for the
+    # FULL batch up-front, so the CutMix stream is identical for every K.
 
 
 def _mix_geometry(cfg: MaskConsistencyConfig, batch, k_mask, mesh):
@@ -112,14 +105,9 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     """
     use_cons = cfg.cons_weight > 0.0
     if cfg.grad_accum > 1:
-        if not cfg.freeze_bn:
-            raise ValueError(
-                "grad_accum > 1 requires freeze_bn (BatchNorm statistics "
-                "would otherwise update per micro-chunk)")
-        if cfg.unsup_batch_ratio != 1:
-            raise ValueError(
-                "grad_accum > 1 requires unsup_batch_ratio == 1 (chunking "
-                "must not cut across unsupervised sub-batches)")
+        from cutmix_seg_tpu.semisup.stepcore import validate_accum
+
+        validate_accum(cfg, "mask_mt")
         return _make_accum_step(model, tx, cfg, mesh)
 
     def step(state: TrainState, batch, ramp_val):
@@ -227,54 +215,43 @@ def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     are computed for the full batch up-front (cheap, element-wise), so the
     random-mask stream is independent of K; the teacher forward and student
     fwd+bwd run per chunk, bounding peak activation memory to one chunk.
-    Gradient = mean over chunk gradients — the standard accumulation
+    Training BN is supported: batch statistics (teacher and student) thread
+    chunk-to-chunk through the scan carry — the exact semantics of running K
+    sequential small batches, which is what the memory-starved recipes
+    (DenseUNet-161 ISIC, run_isic2017_experiments.sh:15-40) would otherwise
+    do. Gradient = mean over chunk gradients — the standard accumulation
     contract. It equals the unchunked gradient up to f32 reduction order
     when the per-batch reductions decompose over chunks (uniform valid-pixel
     counts; per-pixel or disabled confidence gating). Two documented
     deviations from K=1 otherwise:
       * batch-mean confidence gate (conf_per_pixel=False, the paper default):
-        each chunk is gated by its OWN mean confidence (warned below);
+        each chunk is gated by its OWN mean confidence (warned at build time
+        by stepcore.validate_accum);
       * supervised CE on ignore-label datasets (VOC-style 255 labels):
         cross_entropy_ignore normalises by each chunk's valid-pixel count, so
         the accumulated gradient is a mean of per-chunk means, not the
         full-batch valid-pixel mean — chunks with fewer valid pixels weigh
         their pixels more. Both are the standard grad-accum semantics
         (identical to running K sequential small batches)."""
+    from cutmix_seg_tpu.semisup.stepcore import (
+        accum_zero_metrics,
+        chunk_strided,
+        run_accum_scan,
+    )
+
     use_cons = cfg.cons_weight > 0.0
     K = cfg.grad_accum
-    if use_cons and cfg.conf_thresh > 0.0 and not cfg.conf_per_pixel:
-        import warnings
-
-        warnings.warn(
-            "grad_accum > 1 with the batch-mean confidence gate "
-            "(conf_per_pixel=False): each micro-chunk is gated by its own "
-            "mean confidence rather than the full batch's, so the gradient "
-            "is the standard accumulation average, not bit-equal to "
-            "grad_accum=1. Pass conf_per_pixel=True for exact chunk "
-            "decomposition.", stacklevel=3)
 
     def step(state: TrainState, batch, ramp_val):
         rng, k_mask, k_drop_sup, k_drop_uns, k_drop_tea = jax.random.split(
             state.rng, 5)
         tea_state = state.teacher if cfg.mean_teacher else state.student
-        tea_stats = tea_state.batch_stats
-        n_sup = batch["sup_x"].shape[0]
-        if n_sup % K != 0:
-            raise ValueError(f"batch size {n_sup} not divisible by "
-                             f"grad_accum={K}")
 
         def chunk(x):
-            # STRIDED chunks (chunk k = x[k::K]): under a data-sharded mesh
-            # every chunk stays spread across all devices (contiguous blocks
-            # would land on a subset and force a reshard per scan step);
-            # the gradient mean is permutation-invariant, so chunk
-            # composition is free to choose.
-            return jnp.swapaxes(
-                x.reshape((x.shape[0] // K, K) + x.shape[1:]), 0, 1)
+            return chunk_strided(x, K)
 
         scan_in = {"sup_x": chunk(batch["sup_x"]),
-                   "sup_y": chunk(batch["sup_y"]),
-                   "i": jnp.arange(K)}
+                   "sup_y": chunk(batch["sup_y"])}
         if use_cons:
             x_stu_cons, m, loss_mask = _mix_geometry(cfg, batch, k_mask, mesh)
             if batch["sup_x"].shape[1:] != x_stu_cons.shape[1:]:
@@ -283,55 +260,77 @@ def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                     f"unsupervised crop shapes, got {batch['sup_x'].shape[1:]}"
                     f" vs {x_stu_cons.shape[1:]}")
             if cfg.mask_mode == "mix":
-                scan_in["tea_in"] = jnp.concatenate(
-                    [chunk(batch["ux0_tea"]), chunk(batch["ux1_tea"])],
-                    axis=1)
+                scan_in["tea0"] = chunk(batch["ux0_tea"])
+                scan_in["tea1"] = chunk(batch["ux1_tea"])
             else:  # 'zero'
                 scan_in["tea_in"] = chunk(batch["ux_tea"])
             scan_in["m"] = chunk(m.astype(jnp.float32))
             scan_in["x_cons"] = chunk(x_stu_cons)
             scan_in["loss_mask"] = chunk(loss_mask.astype(jnp.float32))
 
-        def one_chunk(carry, inp):
-            grads_acc, metrics_acc = carry
+        def one_chunk(stu_stats, tea_stats, inp):
             i = inp["i"]
+            k_tea = jax.random.fold_in(k_drop_tea, i)
             conf_px = logits_tea = None
             if use_cons:
-                tea_out, _ = apply_model(
-                    model, tea_state.params, tea_stats, inp["tea_in"],
-                    train=True, freeze_bn=True,
-                    rng=jax.random.fold_in(k_drop_tea, i))
-                tea_out = jax.lax.stop_gradient(tea_out.astype(jnp.float32))
                 if cfg.mask_mode == "mix":
                     nc = inp["x_cons"].shape[0]
-                    logits_tea = (tea_out[:nc] * (1.0 - inp["m"])
-                                  + tea_out[nc:] * inp["m"])
+                    if cfg.freeze_bn:
+                        # frozen BN: one concatenated forward (identical math)
+                        tea_out, tea_stats = apply_model(
+                            model, tea_state.params, tea_stats,
+                            jnp.concatenate([inp["tea0"], inp["tea1"]]),
+                            train=True, freeze_bn=True, rng=k_tea)
+                        tea0, tea1 = tea_out[:nc], tea_out[nc:]
+                    else:
+                        # training BN: the reference's two sequential passes,
+                        # stats threading chunk to chunk through the carry
+                        tea0, tea_stats = apply_model(
+                            model, tea_state.params, tea_stats, inp["tea0"],
+                            train=True, freeze_bn=False, rng=k_tea)
+                        tea1, tea_stats = apply_model(
+                            model, tea_state.params, tea_stats, inp["tea1"],
+                            train=True, freeze_bn=False,
+                            rng=jax.random.fold_in(k_tea, 1))
+                    tea0 = jax.lax.stop_gradient(tea0.astype(jnp.float32))
+                    tea1 = jax.lax.stop_gradient(tea1.astype(jnp.float32))
+                    logits_tea = tea0 * (1.0 - inp["m"]) + tea1 * inp["m"]
                 else:
-                    logits_tea = tea_out
+                    logits_tea, tea_stats = apply_model(
+                        model, tea_state.params, tea_stats, inp["tea_in"],
+                        train=True, freeze_bn=cfg.freeze_bn, rng=k_tea)
+                    logits_tea = jax.lax.stop_gradient(
+                        logits_tea.astype(jnp.float32))
                 prob_tea = jax.nn.softmax(logits_tea, axis=-1)
                 conf_px = confidence_px(
                     cfg, prob_tea.max(axis=-1, keepdims=True))
 
             def loss_fn(params):
                 metrics = {}
-                if use_cons:
+                if use_cons and cfg.freeze_bn:
                     ns = inp["sup_x"].shape[0]
-                    logits_all, _ = apply_model(
-                        model, params, state.student.batch_stats,
+                    logits_all, stats = apply_model(
+                        model, params, stu_stats,
                         jnp.concatenate([inp["sup_x"], inp["x_cons"]]),
                         train=True, freeze_bn=True,
                         rng=jax.random.fold_in(k_drop_sup, i))
                     logits_sup, logits_stu = logits_all[:ns], logits_all[ns:]
                 else:
-                    logits_sup, _ = apply_model(
-                        model, params, state.student.batch_stats,
-                        inp["sup_x"], train=True, freeze_bn=True,
+                    logits_sup, stats = apply_model(
+                        model, params, stu_stats,
+                        inp["sup_x"], train=True, freeze_bn=cfg.freeze_bn,
                         rng=jax.random.fold_in(k_drop_sup, i))
+                    logits_stu = None
                 sup_loss = L.cross_entropy_ignore(
                     logits_sup, inp["sup_y"], cfg.ignore_value)
                 metrics["sup_loss"] = sup_loss
                 total = sup_loss
                 if use_cons:
+                    if logits_stu is None:
+                        logits_stu, stats = apply_model(
+                            model, params, stats, inp["x_cons"],
+                            train=True, freeze_bn=cfg.freeze_bn,
+                            rng=jax.random.fold_in(k_drop_uns, i))
                     per_px = L.consistency_loss_per_pixel(
                         cfg.cons_loss_fn, logits_stu, logits_tea)
                     loss_sum, loss_mean, conf_rate = masked_consistency(
@@ -339,25 +338,16 @@ def _make_accum_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                     total = total + loss_sum * ramp_val * cfg.cons_weight
                     metrics["cons_loss"] = loss_mean
                     metrics["conf_rate"] = conf_rate
-                return total, metrics
+                return total, (stats, metrics)
 
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                state.student.params)
-            return (jax.tree_util.tree_map(jnp.add, grads_acc, grads),
-                    jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)), None
+            grads, (new_stu_stats, metrics) = jax.grad(
+                loss_fn, has_aux=True)(state.student.params)
+            return grads, new_stu_stats, tea_stats, metrics
 
-        zero_grads = jax.tree_util.tree_map(
-            jnp.zeros_like, state.student.params)
-        zero_metrics = {"sup_loss": jnp.float32(0.0)}
-        if use_cons:
-            zero_metrics.update(cons_loss=jnp.float32(0.0),
-                                conf_rate=jnp.float32(0.0))
-        (grads, metrics), _ = jax.lax.scan(
-            one_chunk, (zero_grads, zero_metrics), scan_in)
-        grads = jax.tree_util.tree_map(lambda g: g / K, grads)
-        metrics = jax.tree_util.tree_map(lambda v: v / K, metrics)
-        # frozen BN: student batch_stats are unchanged by construction
-        new_state = finish_step(state, tx, grads, state.student.batch_stats,
+        grads, metrics, stu_stats, tea_stats = run_accum_scan(
+            K, state.student.params, accum_zero_metrics(use_cons), scan_in,
+            one_chunk, state.student.batch_stats, tea_state.batch_stats)
+        new_state = finish_step(state, tx, grads, stu_stats,
                                 tea_state.params, tea_stats, cfg, rng)
         return new_state, metrics
 

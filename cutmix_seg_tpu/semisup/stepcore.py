@@ -35,6 +35,15 @@ class ConsistencyCommon:
     teacher_alpha: float = 0.99
     unsup_batch_ratio: int = 1
     ignore_value: int = 255
+    # Gradient accumulation (all four algorithms): split the step's batch
+    # into K sequential micro-chunks (teacher forward + student fwd/bwd per
+    # chunk inside one lax.scan), cutting peak activation memory ~K-fold so
+    # the paper's batch sizes fit memory-constrained chips. One optimizer +
+    # EMA update per step, gradient = mean of micro-chunk gradients. With
+    # training BN the batch statistics update per chunk, sequentially — the
+    # exact semantics of running K sequential small batches (no reference
+    # counterpart — TPU production extra).
+    grad_accum: int = 1
 
 
 def apply_model(model, params, batch_stats, x, *, train, freeze_bn, rng=None):
@@ -86,6 +95,74 @@ def confidence_px(cfg: ConsistencyCommon, conf_tea):
     if cfg.conf_thresh > 0.0:
         return (conf_tea >= cfg.conf_thresh).astype(jnp.float32)
     return None
+
+
+# ---- gradient accumulation (shared by the four algorithm accum steps) ----
+
+def validate_accum(cfg: ConsistencyCommon, algo: str):
+    """Common grad_accum preconditions (same contract for every algorithm)."""
+    if cfg.unsup_batch_ratio != 1:
+        raise ValueError(
+            f"{algo}: grad_accum > 1 requires unsup_batch_ratio == 1 "
+            "(chunking must not cut across unsupervised sub-batches)")
+    if cfg.conf_thresh > 0.0 and not cfg.conf_per_pixel \
+            and cfg.cons_weight > 0.0:
+        import warnings
+
+        warnings.warn(
+            f"{algo}: grad_accum > 1 with the batch-mean confidence gate "
+            "(conf_per_pixel=False): each micro-chunk is gated by its own "
+            "mean confidence rather than the full batch's, so the gradient "
+            "is the standard accumulation average, not bit-equal to "
+            "grad_accum=1. Pass conf_per_pixel=True for exact chunk "
+            "decomposition.", stacklevel=4)
+
+
+def chunk_strided(x, K: int):
+    """(N, ...) -> (K, N//K, ...) STRIDED chunks (chunk k = x[k::K]).
+
+    Under a data-sharded mesh every strided chunk stays spread across all
+    devices (contiguous blocks would land on a device subset and force a
+    reshard per scan step); the gradient mean is permutation-invariant, so
+    chunk composition is free to choose."""
+    if x.shape[0] % K != 0:
+        raise ValueError(f"batch size {x.shape[0]} not divisible by "
+                         f"grad_accum={K}")
+    return jnp.swapaxes(x.reshape((x.shape[0] // K, K) + x.shape[1:]), 0, 1)
+
+
+def run_accum_scan(K: int, params, zero_metrics, scan_in, one_chunk,
+                   stu_stats0, tea_stats0):
+    """Drive the accumulation lax.scan.
+
+    one_chunk(stu_stats, tea_stats, inp) -> (grads, new_stu_stats,
+    new_tea_stats, metrics); ``inp`` carries chunk k of every scan_in leaf
+    plus inp['i'] = k. BatchNorm statistics thread through the carry, so with
+    training BN the chunks update stats sequentially (the semantics of K
+    sequential small batches); frozen-BN chunk functions return their inputs
+    unchanged. Returns (grads/K, metrics/K, stu_stats, tea_stats)."""
+    scan_in = dict(scan_in, i=jnp.arange(K))
+
+    def body(carry, inp):
+        grads_acc, metrics_acc, stu_stats, tea_stats = carry
+        grads, new_stu, new_tea, metrics = one_chunk(stu_stats, tea_stats, inp)
+        return (jax.tree_util.tree_map(jnp.add, grads_acc, grads),
+                jax.tree_util.tree_map(jnp.add, metrics_acc, metrics),
+                new_stu, new_tea), None
+
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (grads, metrics, stu_stats, tea_stats), _ = jax.lax.scan(
+        body, (zero_grads, zero_metrics, stu_stats0, tea_stats0), scan_in)
+    return (jax.tree_util.tree_map(lambda g: g / K, grads),
+            jax.tree_util.tree_map(lambda v: v / K, metrics),
+            stu_stats, tea_stats)
+
+
+def accum_zero_metrics(use_cons: bool):
+    z = {"sup_loss": jnp.float32(0.0)}
+    if use_cons:
+        z.update(cons_loss=jnp.float32(0.0), conf_rate=jnp.float32(0.0))
+    return z
 
 
 def finish_step(state: TrainState, tx, grads, new_stu_stats, tea_params,

@@ -33,6 +33,7 @@ def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
         mean_teacher=p["model"] == "mean_teacher",
         teacher_alpha=p["teacher_alpha"],
         unsup_batch_ratio=p["unsup_batch_ratio"],
+        grad_accum=p.get("grad_accum", 1),
     )
     spec = AlgorithmSpec(
         name="aug_mt",

@@ -82,6 +82,12 @@ def common_options(with_geom_pair_opts: bool = False):
         click.option("--no_pretrained", is_flag=True, default=False,
                      help="skip loading pretrained backbone weights (random "
                           "init; for machines without the weight files)"),
+        click.option("--grad_accum", type=int, default=1,
+                     help="TPU extra: process the batch as K sequential "
+                          "micro-chunks inside the fused step (one optimizer/"
+                          "EMA update; ~K-fold lower activation memory; with "
+                          "training BN the stats update per chunk — the "
+                          "semantics of K sequential small batches)"),
     ]
     if with_geom_pair_opts:
         opts += [

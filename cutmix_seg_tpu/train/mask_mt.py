@@ -73,10 +73,6 @@ def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
 @click.option("--boxmask_by_size", is_flag=True, default=False)
 @click.option("--boxmask_outside_bounds", is_flag=True, default=False)
 @click.option("--boxmask_no_invert", is_flag=True, default=False)
-@click.option("--grad_accum", type=int, default=1,
-              help="TPU extra: process the batch as K sequential micro-"
-                   "chunks inside the fused step (one optimizer/EMA update; "
-                   "~K-fold lower activation memory; requires --freeze_bn)")
 def experiment(job_desc, **params):
     job.submit("train_seg_semisup_mask_mt", job_desc,
                train_seg_semisup_mask_mt, params)

@@ -387,6 +387,10 @@ def test_grad_accum_equivalent_to_single_step(mode, conf):
 
 
 def test_grad_accum_validation():
+    from cutmix_seg_tpu.semisup.aug_cons import AugConsConfig, make_aug_cons_step
+    from cutmix_seg_tpu.semisup.ict import ICTConfig, make_ict_step
+    from cutmix_seg_tpu.semisup.vat import VATConfig, make_vat_step
+
     model = tiny_model()
     opt_cfg = OptimizerConfig(
         opt_type="adam", learning_rate=3e-4,
@@ -394,12 +398,19 @@ def test_grad_accum_validation():
     _, tx = create_train_state(
         model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
         mean_teacher=True, pretrained=False)
-    with pytest.raises(ValueError, match="freeze_bn"):
-        make_mask_mt_step(model, tx, MaskConsistencyConfig(
-            grad_accum=2, freeze_bn=False))
     with pytest.raises(ValueError, match="unsup_batch_ratio"):
         make_mask_mt_step(model, tx, MaskConsistencyConfig(
             grad_accum=2, freeze_bn=True, unsup_batch_ratio=2))
+    for make, cfg_cls in ((make_ict_step, ICTConfig),
+                          (make_vat_step, VATConfig),
+                          (make_aug_cons_step, AugConsConfig)):
+        with pytest.raises(ValueError, match="unsup_batch_ratio"):
+            make(model, tx, cfg_cls(grad_accum=2, freeze_bn=True,
+                                    unsup_batch_ratio=2))
+    # training BN is a SUPPORTED accum mode now (per-chunk stat updates)
+    step = make_mask_mt_step(model, tx, MaskConsistencyConfig(
+        grad_accum=2, freeze_bn=False, conf_thresh=0.0))
+    assert callable(step)
 
 
 def test_grad_accum_guards_and_warning():
@@ -435,3 +446,142 @@ def test_grad_accum_guards_and_warning():
         make_mask_mt_step(model, tx, MaskConsistencyConfig(
             mask_mode="mix", conf_thresh=0.97, conf_per_pixel=False,
             **common))
+
+
+def _algo_step_and_batch(algo, model, tx, rng, grad_accum=1, freeze_bn=True,
+                         cons_weight=1.0):
+    """(step, batch) for any of the four algorithms at K=grad_accum."""
+    from cutmix_seg_tpu.semisup.aug_cons import AugConsConfig, make_aug_cons_step
+    from cutmix_seg_tpu.semisup.ict import ICTConfig, make_ict_step
+    from cutmix_seg_tpu.semisup.vat import VATConfig, make_vat_step
+
+    common = dict(cons_weight=cons_weight, conf_thresh=0.5,
+                  conf_per_pixel=True, freeze_bn=freeze_bn, mean_teacher=True,
+                  grad_accum=grad_accum)
+    if algo == "mask_mt":
+        step = make_mask_mt_step(model, tx, MaskConsistencyConfig(
+            mask_mode="mix", pallas_cutmix="off", **common))
+        batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
+    elif algo == "ict":
+        step = make_ict_step(model, tx, ICTConfig(ict_alpha=0.1, **common))
+        batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
+    elif algo == "vat_mt":
+        step = make_vat_step(model, tx, VATConfig(
+            vat_radius=0.1, adaptive_vat_radius=True, **common))
+        batch = make_batch(rng, b=4, hw=(17, 17), mode="zero")
+    else:  # aug_mt
+        step = make_aug_cons_step(model, tx, AugConsConfig(**common))
+        b = make_batch(rng, b=4, hw=(17, 17), mode="mix")
+        # small per-sample translations in grid space
+        xf = np.tile(np.asarray([[[1.0, 0, 0], [0, 1.0, 0]]], np.float32),
+                     (4, 1, 1))
+        xf[:, 0, 2] = rng.uniform(-0.2, 0.2, size=4)
+        xf[:, 1, 2] = rng.uniform(-0.2, 0.2, size=4)
+        batch = {"sup_x": b["sup_x"], "sup_y": b["sup_y"],
+                 "ux0": b["ux0_tea"], "ux1": b["ux1_tea"],
+                 "um0": b["um0"], "um1": b["um1"],
+                 "xf0_to_1": jnp.asarray(xf)}
+    return step, batch
+
+
+@pytest.mark.parametrize("algo", ["ict", "vat_mt", "aug_mt"])
+def test_grad_accum_equivalent_other_algorithms(algo):
+    """K=2 accumulation must reproduce the K=1 step for ICT / VAT / aug_mt
+    when the reductions decompose (frozen BN, per-pixel confidence, R=1,
+    dropout-free model): same Beta/noise stream (full-batch draws), gradient
+    = mean of chunk gradients == unchunked gradient up to f32 order."""
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    ramp = jnp.float32(1.0)
+
+    rng = _np.random.RandomState(7)
+    step1, batch = _algo_step_and_batch(algo, model, tx, rng, grad_accum=1)
+    rng = _np.random.RandomState(7)
+    step2, batch2 = _algo_step_and_batch(algo, model, tx, rng, grad_accum=2)
+
+    s1, m1 = jax.jit(step1)(state, batch, ramp)
+    s2, m2 = jax.jit(step2)(state, batch2, ramp)
+
+    for k in m1:
+        _np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                    err_msg=f"{algo}:{k}")
+    for a, b in zip(jax.tree_util.tree_leaves(s1.student.params),
+                    jax.tree_util.tree_leaves(s2.student.params)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=5e-5, rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.teacher.params),
+                    jax.tree_util.tree_leaves(s2.teacher.params)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=5e-5, rtol=2e-3)
+
+
+def test_grad_accum_training_bn_sequential_stats():
+    """Training-BN accumulation: student batch statistics must equal
+    threading the SAME chunk forwards sequentially (the K-sequential-small-
+    batches semantics) — verified against direct apply_model calls on the
+    strided chunks (supervised-only isolates the student stats path)."""
+    from cutmix_seg_tpu.semisup.stepcore import apply_model
+
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    assert state.student.batch_stats, "model must carry BN stats"
+    rng = _np.random.RandomState(3)
+    batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
+
+    step = make_mask_mt_step(model, tx, MaskConsistencyConfig(
+        mask_mode="mix", pallas_cutmix="off", cons_weight=0.0,
+        conf_thresh=0.0, freeze_bn=False, mean_teacher=True, grad_accum=2))
+    s2, metrics = jax.jit(step)(state, batch, jnp.float32(1.0))
+    assert _np.isfinite(float(metrics["sup_loss"]))
+
+    expect = state.student.batch_stats
+    for k in range(2):
+        _, expect = apply_model(
+            model, state.student.params, expect,
+            batch["sup_x"][k::2], train=True, freeze_bn=False)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.student.batch_stats),
+                    jax.tree_util.tree_leaves(expect)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=1e-5, rtol=1e-4)
+    # stats actually moved
+    moved = any(
+        not _np.allclose(_np.asarray(a), _np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s2.student.batch_stats),
+                        jax.tree_util.tree_leaves(state.student.batch_stats)))
+    assert moved
+
+
+@pytest.mark.parametrize("algo", ["mask_mt", "ict", "vat_mt", "aug_mt"])
+def test_grad_accum_training_bn_runs_all_algorithms(algo):
+    """K=2 with TRAINING BatchNorm (the DenseUNet/ISIC recipe shape) runs for
+    every algorithm: finite metrics, advanced step, teacher stats updated by
+    the consistency branch's teacher forwards."""
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    rng = _np.random.RandomState(11)
+    step, batch = _algo_step_and_batch(algo, model, tx, rng, grad_accum=2,
+                                       freeze_bn=False)
+    s2, metrics = jax.jit(step)(state, batch, jnp.float32(1.0))
+    assert int(s2.step) == 1
+    for k in ("sup_loss", "cons_loss", "conf_rate"):
+        assert _np.isfinite(float(metrics[k])), (algo, k)
+    tea_moved = any(
+        not _np.allclose(_np.asarray(a), _np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s2.teacher.batch_stats),
+                        jax.tree_util.tree_leaves(state.teacher.batch_stats)))
+    assert tea_moved, algo
