@@ -206,19 +206,6 @@ def evaluate(model, model_state, source, indices, batch_size, mesh,
     return ev.score()
 
 
-def fetch_metrics(metric_list):
-    """Convert a list of device metric dicts to per-key means (one transfer
-    per key at epoch end keeps the step stream async)."""
-    if not metric_list:
-        return {}
-    keys = metric_list[0].keys()
-    out = {}
-    for k in keys:
-        vals = np.asarray([np.asarray(m[k]) for m in metric_list], dtype=np.float64)
-        out[k] = float(vals.mean())
-    return out
-
-
 def check_nan(value: float) -> bool:
     """The reference's bail-out (train_seg_semisup_mask_mt.py:469-472)."""
     if np.isnan(value):

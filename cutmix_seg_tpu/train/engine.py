@@ -201,7 +201,13 @@ class TrainEngine:
             batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
             if use_cons:
                 batch.update(spec.compose(augmentor, raw, scalars["key"]))
-            return algo_step(state, batch, scalars["ramp"])
+            new_state, metrics = algo_step(state, batch, scalars["ramp"])
+            # metrics accumulate ON DEVICE inside the same program: the epoch
+            # loop carries running sums and fetches them once per epoch,
+            # instead of ~3 x iters_per_epoch scalar D2H round-trips (each a
+            # full dispatch latency on remote/tunnelled TPU hosts)
+            msum = jax.tree_util.tree_map(jnp.add, scalars["msum"], metrics)
+            return new_state, msum
 
         self.step = jit_sharded_step(fused_step, self.mesh)
         # Pre-place the state replicated on the mesh: otherwise the first
@@ -259,6 +265,18 @@ class TrainEngine:
         return True
 
     # ---- batches ----
+    def zero_metric_sums(self):
+        """Device-side running-sum carry for the fused step's metrics. Every
+        algorithm step returns sup_loss, plus cons_loss/conf_rate when the
+        consistency branch is active (semisup/{mask_mt,ict,vat,aug_cons}.py).
+        Pre-placed replicated on the mesh: like the train state, a host-side
+        zero would make the first call's avals mesh-untagged and trigger a
+        silent second trace+compile of the whole fused program."""
+        z = {"sup_loss": jnp.float32(0.0)}
+        if self.use_cons:
+            z.update(cons_loss=jnp.float32(0.0), conf_rate=jnp.float32(0.0))
+        return jax.device_put(z, replicated(self.mesh))
+
     def next_key(self):
         self.colour_key, k = jax.random.split(self.colour_key)
         return k
@@ -286,7 +304,8 @@ class TrainEngine:
             ramp_val = sigmoid_rampup(epoch_i, p["rampup"]) if p["rampup"] > 0 else 1.0
             ramp = jnp.float32(ramp_val)
 
-            metric_accum = []
+            msum = self.zero_metric_sums()
+            n_steps = 0
             profile_dir = p.get("profile_dir") if epoch_i == self.start_epoch else None
             for it in range(p["iters_per_epoch"]):
                 if profile_dir and it == 2:
@@ -296,21 +315,26 @@ class TrainEngine:
                     with trace(profile_dir):
                         for _ in range(3):
                             raw = self.make_raw_batch()
-                            scalars = {"ramp": ramp, "key": self.next_key()}
-                            self.state, metrics = self.step(
+                            scalars = {"ramp": ramp, "key": self.next_key(),
+                                       "msum": msum}
+                            self.state, msum = self.step(
                                 self.state, raw, scalars)
-                            metric_accum.append(metrics)
+                            n_steps += 1
                     profile_dir = None
                     continue
                 raw = self.make_raw_batch()
-                scalars = {"ramp": ramp, "key": self.next_key()}
-                self.state, metrics = self.step(self.state, raw, scalars)
-                metric_accum.append(metrics)
+                scalars = {"ramp": ramp, "key": self.next_key(), "msum": msum}
+                self.state, msum = self.step(self.state, raw, scalars)
+                n_steps += 1
                 if (it + 1) % p.get("nan_check_interval", 100) == 0:
-                    if common.check_nan(float(metrics["sup_loss"])):
+                    # periodic host sync: a NaN in ANY step poisons the
+                    # running sum, so checking the sum catches it
+                    if common.check_nan(float(msum["sup_loss"])):
                         return
 
-            m = common.fetch_metrics(metric_accum)
+            # ONE D2H fetch of the tiny metric-sum dict per epoch
+            m = {k: float(np.asarray(v)) / max(n_steps, 1)
+                 for k, v in msum.items()}
             sup_loss_acc = m.get("sup_loss", 0.0)
             cons_loss_acc = m.get("cons_loss", 0.0)
             conf_rate_acc = m.get("conf_rate",
