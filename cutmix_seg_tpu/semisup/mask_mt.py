@@ -52,6 +52,21 @@ class MaskConsistencyConfig(ConsistencyCommon):
     pallas_cutmix: str = "auto"
     # grad_accum inherited from ConsistencyCommon; masks are sampled for the
     # FULL batch up-front, so the CutMix stream is identical for every K.
+    #
+    # Consistency-chain compute dtype: 'float32' (reference parity) or
+    # 'bfloat16'. The blended teacher logits ride through HBM at
+    # (R*B, H, W, C) scale; bf16 halves that traffic. Softmax/loss internals
+    # stay f32 (fused, never materialised). PARITY NOTE: bf16 teacher logits
+    # quantise the confidence gate's probabilities to ~2^-8 steps, so pixels
+    # whose max-prob lies within ~4e-3 of conf_thresh can flip their gate vs
+    # the f32 chain (measured fraction on the synthetic task: <1%; see
+    # results_evidence/loss_chain/).
+    cons_compute_dtype: str = "float32"
+    # Recompute the per-pixel loss chains (softmax/log-softmax) in the
+    # backward pass instead of saving their (B, H, W, C) f32 intermediates:
+    # identical math, trades cheap elementwise recompute for an HBM
+    # residual round-trip.
+    remat_loss_chain: bool = False
 
 
 def _mix_geometry(cfg: MaskConsistencyConfig, batch, k_mask, mesh):
@@ -82,6 +97,19 @@ def _mix_geometry(cfg: MaskConsistencyConfig, batch, k_mask, mesh):
     else:
         raise ValueError(f"unknown mask_mode {cfg.mask_mode!r}")
     return x_stu_cons, m, loss_mask
+
+
+def _ce_tail(logits, labels, ignore_value):
+    """Supervised-CE tail as a named function so jax.checkpoint can
+    rematerialise its log-softmax instead of saving the (B, H, W, C) f32
+    residual (remat_loss_chain)."""
+    return L.cross_entropy_ignore(logits, labels, ignore_value)
+
+
+def _cons_tail(loss_fn, logits_stu, logits_tea):
+    """Per-pixel consistency tail (softmax chains) as a named function for
+    jax.checkpoint (remat_loss_chain)."""
+    return L.consistency_loss_per_pixel(loss_fn, logits_stu, logits_tea)
 
 
 def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
@@ -119,6 +147,11 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
         tea_state = state.teacher if cfg.mean_teacher else state.student
         tea_stats = tea_state.batch_stats
 
+        # consistency-chain HBM dtype (blended teacher logits ride at
+        # (R*B, H, W, C) scale; softmax/loss internals stay f32 and fuse)
+        ldt = (jnp.bfloat16 if cfg.cons_compute_dtype == "bfloat16"
+               else jnp.float32)
+
         # ---- teacher forwards + mixing geometry: all outside the grad ----
         if use_cons:
             x_stu_cons, m, loss_mask = _mix_geometry(cfg, batch, k_mask, mesh)
@@ -144,14 +177,22 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                         model, tea_state.params, tea_stats, batch["ux1_tea"],
                         train=True, freeze_bn=cfg.freeze_bn,
                         rng=jax.random.fold_in(k_drop_tea, 1))
-                logits_tea = tea0 * (1.0 - m) + tea1 * m
+                m_l = m.astype(ldt)
+                logits_tea = (tea0.astype(ldt) * (1.0 - m_l)
+                              + tea1.astype(ldt) * m_l)
             else:  # 'zero' (unknown modes rejected by _mix_geometry)
                 logits_tea, tea_stats = apply_model(
                     model, tea_state.params, tea_stats, batch["ux_tea"],
                     train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
-            logits_tea = jax.lax.stop_gradient(logits_tea.astype(jnp.float32))
-            prob_tea = jax.nn.softmax(logits_tea, axis=-1)
-            conf_px = confidence_px(cfg, prob_tea.max(axis=-1, keepdims=True))
+                logits_tea = logits_tea.astype(ldt)
+            logits_tea = jax.lax.stop_gradient(logits_tea)
+            # confidence: softmax in f32 inside the fused max-reduction —
+            # only the (.., 1) max-prob map is materialised, never the
+            # (.., C) probability tensor
+            conf = jax.nn.softmax(
+                logits_tea.astype(jnp.float32), axis=-1
+            ).max(axis=-1, keepdims=True)
+            conf_px = confidence_px(cfg, conf)
             loss_mask = loss_mask.astype(jnp.float32)
 
         # ---- student losses under grad ----
@@ -178,9 +219,9 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                     train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_sup,
                 )
                 logits_stu = None
-            sup_loss = L.cross_entropy_ignore(
-                logits_sup, batch["sup_y"], cfg.ignore_value
-            )
+            ce_fn = (jax.checkpoint(_ce_tail, static_argnums=(2,))
+                     if cfg.remat_loss_chain else _ce_tail)
+            sup_loss = ce_fn(logits_sup, batch["sup_y"], cfg.ignore_value)
             metrics["sup_loss"] = sup_loss
             total = sup_loss
             if use_cons:
@@ -189,9 +230,9 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                         model, params, stats, x_stu_cons,
                         train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns,
                     )
-                per_px = L.consistency_loss_per_pixel(
-                    cfg.cons_loss_fn, logits_stu, logits_tea
-                )
+                cons_tail = (jax.checkpoint(_cons_tail, static_argnums=(0,))
+                             if cfg.remat_loss_chain else _cons_tail)
+                per_px = cons_tail(cfg.cons_loss_fn, logits_stu, logits_tea)
                 loss_sum, loss_mean, conf_rate = masked_consistency(
                     cfg, per_px, loss_mask, conf_px)
                 total = total + loss_sum * ramp_val * cfg.cons_weight

@@ -448,6 +448,51 @@ def test_grad_accum_guards_and_warning():
             **common))
 
 
+def test_loss_chain_variants_match_reference_step():
+    """remat_loss_chain must be BIT-exact vs the default step (identical
+    math, only backward rematerialisation changes); cons_compute_dtype=
+    'bfloat16' must stay within bf16 quantisation of it (parity-flagged
+    HBM-traffic optimisation; semisup/mask_mt.py config docs)."""
+    model = tiny_model()
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=3e-4,
+        lr_schedule=make_lr_schedule("none", 3e-4, 100))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
+        mean_teacher=True, pretrained=False)
+    rng = _np.random.RandomState(0)
+    batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
+    ramp = jnp.float32(1.0)
+    common = dict(mask_mode="mix", cons_weight=1.0, conf_thresh=0.0,
+                  conf_per_pixel=False, freeze_bn=True, mean_teacher=True,
+                  pallas_cutmix="off")
+
+    s_ref, m_ref = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(**common)))(state, batch, ramp)
+
+    s_rm, m_rm = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(remat_loss_chain=True, **common)))(
+        state, batch, ramp)
+    for k in m_ref:
+        assert float(m_rm[k]) == float(m_ref[k]), k
+    for a, b in zip(jax.tree_util.tree_leaves(s_rm.student.params),
+                    jax.tree_util.tree_leaves(s_ref.student.params)):
+        _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
+
+    s_bf, m_bf = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(
+            cons_compute_dtype="bfloat16", remat_loss_chain=True, **common)))(
+        state, batch, ramp)
+    _np.testing.assert_allclose(float(m_bf["cons_loss"]),
+                                float(m_ref["cons_loss"]), rtol=2e-2)
+    _np.testing.assert_allclose(float(m_bf["sup_loss"]),
+                                float(m_ref["sup_loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_bf.student.params),
+                    jax.tree_util.tree_leaves(s_ref.student.params)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=1e-4)
+
+
 def _algo_step_and_batch(algo, model, tx, rng, grad_accum=1, freeze_bn=True,
                          cons_weight=1.0):
     """(step, batch) for any of the four algorithms at K=grad_accum."""
