@@ -1,15 +1,22 @@
-"""Synthetic semi-supervised convergence experiment.
+"""Synthetic semi-supervised convergence experiment — all four algorithms.
 
 No real datasets ship with this environment, so this tool provides an
 end-to-end algorithmic sanity check the judge/driver can run on any backend:
 a procedurally generated segmentation task (anti-aliased discs and rectangles
 over textured backgrounds, 3 classes + background), a small DeepLab v2, and a
-comparison of supervised-only vs CutMix mean-teacher with few labels. The
-semi-supervised run should reach clearly higher val mIoU — the paper's core
-claim reproduced in miniature.
+comparison of supervised-only vs semi-supervised with few labels, for any of
+the four consistency algorithms the framework implements — CutMix mean
+teacher (``mask_mt``), interpolation consistency (``ict``), virtual
+adversarial training (``vat_mt``, adaptive radius), and augmentation-driven
+consistency (``aug_mt``, translated crop pairs). The reference only ever
+demonstrates these via full dataset runs (train_seg_semisup_{mask_mt,ict,
+vat_mt,aug_mt}.py); this is the in-repo evidence that each one MOVES the
+metric, not merely runs.
 
 Usage:
     python -m cutmix_seg_tpu.tools.synthetic_benchmark --iters 400 --n_sup 8
+    python -m cutmix_seg_tpu.tools.synthetic_benchmark --algorithm vat_mt
+    python -m cutmix_seg_tpu.tools.synthetic_benchmark --algorithm all
 """
 
 from __future__ import annotations
@@ -48,8 +55,39 @@ def make_image(rng, hw=(64, 64)):
     return (img * 255).astype(np.uint8), labels
 
 
+#: source canvas margin for the aug_mt translated-crop pairs (crop offsets
+#: are drawn from [0, _AUG_MARGIN] in each axis — the reference's
+#: aug_offset_range idea, train_seg_semisup_aug_mt.py CLI)
+_AUG_MARGIN = 16
+
+
+def _aug_pair_batch(unsup_src, idx, off_rng, hw):
+    """Two translated crops of the same source images + the relative
+    grid-space transform xf0->1, composed exactly like the trainer's
+    fetch_aug_pair (train/engine.py:447-456): cv crop matrices, compose with
+    the inverse, convert with cv_to_grid."""
+    from cutmix_seg_tpu.aug import affine as host_affine
+
+    n = len(idx)
+    h, w = hw
+    off = off_rng.randint(0, _AUG_MARGIN + 1, size=(n, 2, 2))  # (n, view, yx)
+    x0 = np.stack([unsup_src[i, oy:oy + h, ox:ox + w]
+                   for i, (oy, ox) in zip(idx, off[:, 0])])
+    x1 = np.stack([unsup_src[i, oy:oy + h, ox:ox + w]
+                   for i, (oy, ox) in zip(idx, off[:, 1])])
+    # cv crop matrix: source px -> crop px is a pure translation by -offset
+    m = np.tile(np.eye(2, 3, dtype=np.float64), (2, n, 1, 1))
+    m[0, :, 0, 2] = -off[:, 0, 1]
+    m[0, :, 1, 2] = -off[:, 0, 0]
+    m[1, :, 0, 2] = -off[:, 1, 1]
+    m[1, :, 1, 2] = -off[:, 1, 0]
+    xf_cv = host_affine.compose(m[1], host_affine.invert(m[0]))
+    xf_grid = host_affine.cv_to_grid(xf_cv, hw).astype(np.float32)
+    return x0, x1, xf_grid
+
+
 def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
-        cons_weight=1.0):
+        cons_weight=1.0, algorithm="mask_mt"):
     from cutmix_seg_tpu.core.schedules import make_lr_schedule
     from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
     from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn
@@ -57,26 +95,35 @@ def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
     from cutmix_seg_tpu.models.common import SegModel
     from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
     from cutmix_seg_tpu.ops.iou import EvaluatorIoU
+    from cutmix_seg_tpu.semisup.aug_cons import AugConsConfig, make_aug_cons_step
+    from cutmix_seg_tpu.semisup.ict import ICTConfig, make_ict_step
     from cutmix_seg_tpu.semisup.mask_mt import (
         MaskConsistencyConfig,
         make_mask_mt_step,
     )
+    from cutmix_seg_tpu.semisup.vat import VATConfig, make_vat_step
 
     rng = np.random.RandomState(seed)
     hw = (64, 64)
     C = 4
 
-    def gen(n):
+    def gen(n, gen_hw=hw):
         xs, ys = [], []
         for _ in range(n):
-            x, y = make_image(rng, hw)
+            x, y = make_image(rng, gen_hw)
             xs.append(x)
             ys.append(y)
         return (np.stack(xs).astype(np.float32) / 255.0 - 0.5) / 0.25, np.stack(ys)
 
     sup_x, sup_y = gen(n_sup)
-    unsup_x, _ = gen(n_unsup)
     val_x, val_y = gen(n_val)
+    # aug_mt crops its two views out of a larger source canvas; the other
+    # algorithms consume the 64^2 images directly. sup/val are drawn FIRST
+    # from the stream so they are identical across algorithms (the unsup
+    # draw consumes a size-dependent amount of randomness).
+    src_hw = (hw[0] + _AUG_MARGIN, hw[1] + _AUG_MARGIN) \
+        if algorithm == "aug_mt" else hw
+    unsup_x, _ = gen(n_unsup, src_hw)
 
     model = SegModel(
         name="tiny_deeplab_synth",
@@ -85,31 +132,51 @@ def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
         param_label=_param_label)
     opt_cfg = OptimizerConfig(opt_type="adam", learning_rate=1e-3,
                               lr_schedule=make_lr_schedule("none", 1e-3, iters))
-    cfg = MaskConsistencyConfig(
-        mask_mode="mix", box=BoxMaskConfig((0.5, 0.5)),
-        cons_weight=cons_weight, conf_thresh=0.8, freeze_bn=True,
-        mean_teacher=True, teacher_alpha=0.99)
+    common = dict(cons_weight=cons_weight, conf_thresh=0.8, freeze_bn=True,
+                  mean_teacher=True, teacher_alpha=0.99)
+    if algorithm == "mask_mt":
+        cfg = MaskConsistencyConfig(
+            mask_mode="mix", box=BoxMaskConfig((0.5, 0.5)), **common)
+        make_step = make_mask_mt_step
+    elif algorithm == "ict":
+        cfg = ICTConfig(ict_alpha=0.1, **common)
+        make_step = make_ict_step
+    elif algorithm == "vat_mt":
+        cfg = VATConfig(vat_radius=0.5, adaptive_vat_radius=True, **common)
+        make_step = make_vat_step
+    elif algorithm == "aug_mt":
+        cfg = AugConsConfig(**common)
+        make_step = make_aug_cons_step
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     state, tx = create_train_state(model, opt_cfg, jax.random.PRNGKey(seed),
                                    input_hw=hw, mean_teacher=True,
                                    pretrained=False)
-    step = jax.jit(make_mask_mt_step(model, tx, cfg), donate_argnums=(0,))
+    step = jax.jit(make_step(model, tx, cfg), donate_argnums=(0,))
     eval_fn = make_eval_cm_fn(model, C)
 
     data_rng = np.random.RandomState(seed + 1)
+    ones = np.ones((batch,) + hw + (1,), np.float32)
     for it in range(iters):
         s_idx = data_rng.randint(0, n_sup, size=batch)
         u0 = data_rng.randint(0, n_unsup, size=batch)
         u1 = data_rng.randint(0, n_unsup, size=batch)
-        bt = {
-            "sup_x": jnp.asarray(sup_x[s_idx]),
-            "sup_y": jnp.asarray(sup_y[s_idx]),
-            "ux0_tea": jnp.asarray(unsup_x[u0]),
-            "ux0_stu": jnp.asarray(unsup_x[u0]),
-            "um0": jnp.ones((batch,) + hw + (1,), jnp.float32),
-            "ux1_tea": jnp.asarray(unsup_x[u1]),
-            "ux1_stu": jnp.asarray(unsup_x[u1]),
-            "um1": jnp.ones((batch,) + hw + (1,), jnp.float32),
-        }
+        bt = {"sup_x": jnp.asarray(sup_x[s_idx]),
+              "sup_y": jnp.asarray(sup_y[s_idx])}
+        if algorithm in ("mask_mt", "ict"):
+            bt.update(
+                ux0_tea=jnp.asarray(unsup_x[u0]),
+                ux0_stu=jnp.asarray(unsup_x[u0]), um0=jnp.asarray(ones),
+                ux1_tea=jnp.asarray(unsup_x[u1]),
+                ux1_stu=jnp.asarray(unsup_x[u1]), um1=jnp.asarray(ones))
+        elif algorithm == "vat_mt":
+            bt.update(ux_tea=jnp.asarray(unsup_x[u0]),
+                      ux_stu=jnp.asarray(unsup_x[u0]), um=jnp.asarray(ones))
+        else:  # aug_mt
+            x0, x1, xf = _aug_pair_batch(unsup_x, u0, data_rng, hw)
+            bt.update(ux0=jnp.asarray(x0), ux1=jnp.asarray(x1),
+                      um0=jnp.asarray(ones), um1=jnp.asarray(ones),
+                      xf0_to_1=jnp.asarray(xf))
         state, metrics = step(state, bt, jnp.float32(min(1.0, it / (iters * 0.3))))
     final_loss = float(metrics["sup_loss"])
 
@@ -125,18 +192,31 @@ def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
 @click.option("--iters", type=int, default=400)
 @click.option("--n_sup", type=int, default=8)
 @click.option("--seed", type=int, default=0)
-def main(iters, n_sup, seed):
+@click.option("--algorithm", default="mask_mt",
+              type=click.Choice(["mask_mt", "ict", "vat_mt", "aug_mt", "all"]))
+def main(iters, n_sup, seed, algorithm):
     t0 = time.time()
+    algos = (["mask_mt", "ict", "vat_mt", "aug_mt"]
+             if algorithm == "all" else [algorithm])
+    # ONE supervised baseline serves every algorithm: with cons_weight=0 the
+    # step degenerates to supervised CE + EMA regardless of algorithm, and
+    # the sup/val sets are identical across algorithms by construction
     miou_sup, _ = run(iters=iters, n_sup=n_sup, seed=seed, cons_weight=0.0)
-    miou_semi, _ = run(iters=iters, n_sup=n_sup, seed=seed, cons_weight=1.0)
-    print(json.dumps({
+    out = {
         "task": "synthetic shapes, 4 classes, 64x64",
         "n_sup": n_sup, "iters": iters,
         "supervised_miou": round(miou_sup, 4),
-        "cutmix_semisup_miou": round(miou_semi, 4),
-        "gain": round(miou_semi - miou_sup, 4),
-        "seconds": round(time.time() - t0, 1),
-    }))
+    }
+    for algo in algos:
+        miou_semi, _ = run(iters=iters, n_sup=n_sup, seed=seed,
+                           cons_weight=1.0, algorithm=algo)
+        if algo == "mask_mt":  # historical key kept for artifact parsers
+            out["cutmix_semisup_miou"] = round(miou_semi, 4)
+            out["gain"] = round(miou_semi - miou_sup, 4)
+        out[f"{algo}_semisup_miou"] = round(miou_semi, 4)
+        out[f"{algo}_gain"] = round(miou_semi - miou_sup, 4)
+    out["seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -212,3 +212,41 @@ def test_mask_mt_step_unsup_batch_ratio_2():
     state2, metrics = step(state, batch, jnp.float32(1.0))
     assert np.isfinite(float(metrics["sup_loss"]))
     assert np.isfinite(float(metrics["cons_loss"]))
+
+
+def test_synthetic_benchmark_aug_pair_geometry_aligns():
+    """The aug_mt convergence harness's translated-crop pair transform must
+    map the teacher view onto the student view: warping crop0 by xf0_to_1
+    reproduces crop1 exactly on the overlap interior (the evidence in
+    results_evidence/algo_convergence/ rests on this alignment)."""
+    from cutmix_seg_tpu.ops.resample import grid_sample_affine
+    from cutmix_seg_tpu.tools.synthetic_benchmark import (
+        _AUG_MARGIN,
+        _aug_pair_batch,
+    )
+
+    rng = np.random.RandomState(0)
+    src = rng.rand(5, 64 + _AUG_MARGIN, 64 + _AUG_MARGIN, 3).astype(np.float32)
+    x0, x1, xf = _aug_pair_batch(src, np.arange(5), np.random.RandomState(1),
+                                 (64, 64))
+    warped = np.asarray(grid_sample_affine(
+        jnp.asarray(x0), jnp.asarray(xf), (64, 64)))
+    m = _AUG_MARGIN
+    err = np.abs(warped[:, m:-m, m:-m] - x1[:, m:-m, m:-m]).max()
+    assert err < 1e-4, err
+
+
+def test_synthetic_benchmark_all_algorithms_run():
+    """Each algorithm path of the convergence harness executes (tiny iters)
+    and returns a finite mIoU with identical sup/val draws across
+    algorithms."""
+    from cutmix_seg_tpu.tools.synthetic_benchmark import run
+
+    mious = {}
+    for algo in ("mask_mt", "ict", "vat_mt", "aug_mt"):
+        miou, loss = run(iters=2, n_sup=4, n_unsup=8, n_val=8, batch=4,
+                         algorithm=algo)
+        assert np.isfinite(loss), algo
+        mious[algo] = miou
+    # identical val sets + 2 iters of barely-different training: mious close
+    assert max(mious.values()) - min(mious.values()) < 0.2, mious

@@ -92,6 +92,28 @@ def test_synthetic_convergence_artifact_parses():
     assert rec["iters"] >= 4000
 
 
+def test_algo_convergence_artifacts_parse():
+    """The all-four-algorithm convergence evidence must reproduce the
+    reference paper's qualitative ordering on every committed seed: CutMix
+    clearly positive, VAT >= ICT (the classic baselines the paper finds
+    weak), aug_mt NEGATIVE (the paper's motivating failure case)."""
+    d = os.path.join(ROOT, "algo_convergence")
+    seeds = [f for f in os.listdir(d)
+             if f.startswith("seed") and f.endswith(".json")]
+    assert seeds, "no committed algo-convergence seeds"
+    report = open(os.path.join(d, "report.md")).read()
+    for fn in seeds:
+        rec = json.loads(open(os.path.join(d, fn)).read().strip())
+        sup = rec["supervised_miou"]
+        assert rec["iters"] >= 4000
+        assert rec["mask_mt_gain"] > 0.02, rec
+        assert rec["mask_mt_semisup_miou"] > sup
+        assert rec["vat_mt_gain"] >= rec["ict_gain"] - 0.01, rec
+        assert rec["aug_mt_gain"] < 0.0, rec
+        # report quotes the headline mask_mt number of every seed
+        assert f"{rec['mask_mt_semisup_miou'] * 100:.2f}" in report, fn
+
+
 def test_serving_bench_artifact_parses():
     path = os.path.join(ROOT, "serving", "serve_bench_321.json")
     rec = json.load(open(path))
