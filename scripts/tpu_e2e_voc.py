@@ -96,12 +96,17 @@ def main():
     ap.add_argument("--conf_thresh", type=float, default=0.8)
     ap.add_argument("--job_desc", default="run")
     ap.add_argument("--lr", type=float, default=3e-5)
+    ap.add_argument("--rampup", type=int, default=-1,
+                    help="sigmoid ramp of the consistency weight over this "
+                         "many epochs — the supervised warm-start phase the "
+                         "random-init recipe needs (reference --rampup flag)")
+    ap.add_argument("--n_train", type=int, default=24)
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_voc_")
     root = os.path.join(tmp, "VOC2012")
     print(f"generating synthetic VOC tree at {root}...", flush=True)
-    make_voc_tree(root)
+    make_voc_tree(root, n_train=args.n_train)
 
     from cutmix_seg_tpu.core import job
     from cutmix_seg_tpu.data import sources
@@ -134,7 +139,7 @@ def main():
         boxmask_by_size=False, boxmask_outside_bounds=False,
         boxmask_no_invert=False, cons_loss_fn="var",
         cons_weight=args.cons_weight, conf_thresh=args.conf_thresh,
-        conf_per_pixel=False, rampup=-1, unsup_batch_ratio=1,
+        conf_per_pixel=False, rampup=args.rampup, unsup_batch_ratio=1,
         num_epochs=args.epochs, iters_per_epoch=args.iters,
         batch_size=args.batch_size, n_sup=args.n_sup, n_unsup=-1, n_val=-1,
         split_seed=12345, split_path=None, val_seed=131, save_preds=False,
