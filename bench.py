@@ -87,6 +87,10 @@ def main():
         # full step (convs dominate) and ~70s cheaper to compile through the
         # remote-compile tunnel
         pallas_cutmix="off",
+        # bit-exact backward remat of the softmax loss chains: measured
+        # ~0.5% step-time win + lower peak memory, zero parity risk
+        # (results_evidence/loss_chain/probe.json)
+        remat_loss_chain=True,
     )
 
     n_chips = len(jax.devices())

@@ -56,11 +56,12 @@ class MaskConsistencyConfig(ConsistencyCommon):
     # Consistency-chain compute dtype: 'float32' (reference parity) or
     # 'bfloat16'. The blended teacher logits ride through HBM at
     # (R*B, H, W, C) scale; bf16 halves that traffic. Softmax/loss internals
-    # stay f32 (fused, never materialised). PARITY NOTE: bf16 teacher logits
-    # quantise the confidence gate's probabilities to ~2^-8 steps, so pixels
-    # whose max-prob lies within ~4e-3 of conf_thresh can flip their gate vs
-    # the f32 chain (measured fraction on the synthetic task: <1%; see
-    # results_evidence/loss_chain/).
+    # stay f32 (fused, never materialised). PARITY NOTE (analytic): bf16
+    # logits quantise to ~2^-8 relative steps, so pixels whose max-prob lies
+    # within O(1e-3) of conf_thresh can flip their gate vs the f32 chain.
+    # MEASURED (results_evidence/loss_chain/probe.json): the whole chain is
+    # fusion-hidden on v5e — bf16 moves the 127 ms step by <1 ms — so this
+    # stays 'float32' by default and exists for memory-limited configs.
     cons_compute_dtype: str = "float32"
     # Recompute the per-pixel loss chains (softmax/log-softmax) in the
     # backward pass instead of saving their (B, H, W, C) f32 intermediates:

@@ -161,6 +161,7 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
         return batch
 
     print("Training...")
+    epoch_mious = []
     for epoch_i in range(p["num_epochs"]):
         t1 = time.time()
         ramp_val = sigmoid_rampup(epoch_i, p["rampup"]) if p["rampup"] > 0 else 1.0
@@ -177,6 +178,7 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
             return
 
         t2 = time.time()
+        epoch_mious = []
         for k in range(K):
             seed_state = unstack_state(mstate, k)
             eval_state = (seed_state.teacher if mean_teacher
@@ -184,6 +186,7 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
             iou = common.evaluate(
                 model, eval_state, ds, val_ndx, p["batch_size"], mesh,
                 n_classes, mean, std, model.block_size, p["bin_fill_holes"])
+            epoch_mious.append(float(iou.mean()))
             print("Epoch {} [seed {}]: took {:.3f}s, TRAIN clf loss={:.6f}, "
                   "consistency loss={:.6f}, conf rate={:.3%}, VAL mIoU={:.3%}"
                   .format(epoch_i + 1, seeds[k], t2 - t1,
@@ -196,6 +199,15 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
                              "val_miou": float(iou.mean())})
         ckpt.save_checkpoint(ctx.checkpoint_dir, mstate, int(
             np.asarray(unstack_state(mstate, 0).step)))
+
+    # the paper-table aggregate: mean +/- std over the split seeds
+    # (reference README.md reports 5-seed mean/stddev rows)
+    arr = np.asarray(epoch_mious)
+    print("SEEDS AGGREGATE ({}): VAL mIoU mean={:.3%} std={:.3%} n={}".format(
+        ",".join(str(s) for s in seeds), arr.mean(), arr.std(ddof=1), K))
+    ctx.log_metrics({"final_seed_mious": epoch_mious,
+                     "final_miou_mean": float(arr.mean()),
+                     "final_miou_std": float(arr.std(ddof=1))})
 
     for s in sup_streams + u0_streams + u1_streams:
         s.close()

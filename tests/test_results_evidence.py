@@ -114,6 +114,19 @@ def test_algo_convergence_artifacts_parse():
         assert f"{rec['mask_mt_semisup_miou'] * 100:.2f}" in report, fn
 
 
+def test_loss_chain_probe_artifact_parses():
+    """The loss-chain probe artifact records the measured falsification of
+    the round-2 '>10 ms f32 chain' hypothesis: every variant within ~2% of
+    baseline, all at the honest bs10 recipe."""
+    rec = json.load(open(os.path.join(ROOT, "loss_chain", "probe.json")))
+    base = rec["variants"]["baseline"]["step_ms"]
+    assert base > 50  # real-chip step, not a stub
+    for name, v in rec["variants"].items():
+        assert abs(v["step_ms"] - base) / base < 0.05, (name, v)
+        assert v["img_per_sec_per_chip"] > 0
+    assert "bf16_gate_analysis" in rec
+
+
 def test_serving_bench_artifact_parses():
     path = os.path.join(ROOT, "serving", "serve_bench_321.json")
     rec = json.load(open(path))
