@@ -40,12 +40,46 @@ def seed_sharding(mesh):
 
 
 def make_multi_seed_step(step_fn, mesh):
-    """vmap a (state, batch, ramp) step over the leading seed axis and jit it
-    with the seed axis sharded over the mesh's 'data' axis (state donated)."""
-    vstep = jax.vmap(step_fn, in_axes=(0, 0, None))
+    """Map a (state, batch, ramp) step over the leading seed axis, sharded
+    over the mesh's 'data' axis (state donated).
+
+    Two lowerings, picked at trace time from the stacked leading dim K:
+
+    * K == mesh axis size (seed-per-device — the paper's 5-seed protocol on
+      a 5+-device mesh): shard_map, so every device traces the UNBATCHED
+      step. This sidesteps two vmap costs: XLA lowers a kernel-batched conv
+      as a grouped conv, which (a) requires channel counts divisible by K
+      (K=5 fails on 64-channel convs) and (b) lowers poorly (measured 0.89x
+      sequential on one chip, round 2).
+    * otherwise: jax.vmap over the seed axis with GSPMD sharding (K must
+      then divide the networks' channel counts — the grouped-conv
+      constraint above).
+    """
+    n = mesh.shape["data"]
     sh = seed_sharding(mesh)
+
+    def dispatch(state, batch, ramp):
+        K = jax.tree_util.tree_leaves(state)[0].shape[0]
+        if K == n:
+            def body(state_l, batch_l, ramp_l):
+                take0 = lambda x: x[0]
+                s, m = step_fn(jax.tree_util.tree_map(take0, state_l),
+                               jax.tree_util.tree_map(take0, batch_l),
+                               ramp_l)
+                add0 = lambda x: jnp.asarray(x)[None]
+                return (jax.tree_util.tree_map(add0, s),
+                        jax.tree_util.tree_map(add0, m))
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("data"), P("data"), P()),
+                out_specs=(P("data"), P("data")),
+                check_vma=False,
+            )(state, batch, ramp)
+        return jax.vmap(step_fn, in_axes=(0, 0, None))(state, batch, ramp)
+
     return jax.jit(
-        vstep,
+        dispatch,
         in_shardings=(sh, sh, NamedSharding(mesh, P())),
         out_shardings=(sh, sh),
         donate_argnums=(0,),

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--iters", type=int, default=25)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--conf_thresh", type=float, default=0.5,
+                    help="confidence gate; 0 keeps the consistency term live "
+                         "from random init (short-demo setting — 4 epochs "
+                         "never reach the paper's 0.97 gate)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="multiseed_")
@@ -82,7 +86,7 @@ def main():
         boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
         boxmask_by_size=False, boxmask_outside_bounds=False,
         boxmask_no_invert=False, cons_loss_fn="var", cons_weight=1.0,
-        conf_thresh=0.5, conf_per_pixel=False, rampup=-1,
+        conf_thresh=args.conf_thresh, conf_per_pixel=False, rampup=-1,
         unsup_batch_ratio=1, num_epochs=args.epochs,
         iters_per_epoch=args.iters, batch_size=2, n_sup=4, n_unsup=-1,
         n_val=-1,

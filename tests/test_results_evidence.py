@@ -71,16 +71,32 @@ def test_cityscapes_scale_pair_parses():
 
 
 def test_multi_seed_demo_artifact_parses():
+    """The paper's 5-seed protocol in one program: five seeds, per-seed
+    independence of BOTH loss terms, and the paper-table aggregate line."""
     d = os.path.join(ROOT, "multi_seed")
     text = open(os.path.join(d, "log_run.txt")).read()
     lines = re.findall(
-        r"Epoch (\d+) \[seed (\d+)\]: .*clf loss=([\d.]+).*VAL mIoU=([\d.]+)%",
+        r"Epoch (\d+) \[seed (\d+)\]: .*clf loss=([\d.]+), "
+        r"consistency loss=([\d.]+).*VAL mIoU=([\d.]+)%",
         text)
-    seeds = {s for _, s, _, _ in lines}
-    assert seeds == {"12345", "23456", "34567", "45678"}
-    # per-seed independence: losses differ across seeds within an epoch
-    ep1 = {s: loss for e, s, loss, _ in lines if e == "1"}
-    assert len(set(ep1.values())) > 1, ep1
+    seeds = {s for _, s, _, _, _ in lines}
+    assert seeds == {"12345", "23456", "34567", "45678", "56789"}
+    # per-seed independence: both loss terms differ across seeds in-epoch,
+    # and the consistency term is live (nonzero)
+    ep1 = {s: loss for e, s, loss, _, _ in lines if e == "1"}
+    assert len(set(ep1.values())) == 5, ep1
+    cons1 = {s: c for e, s, _, c, _ in lines if e == "1"}
+    assert len(set(cons1.values())) == 5, cons1
+    assert all(float(c) > 0 for c in cons1.values()), cons1
+    m = re.search(r"SEEDS AGGREGATE \(([\d,]+)\): VAL mIoU "
+                  r"mean=([\d.]+)% std=([\d.]+)% n=(\d+)", text)
+    assert m and m.group(4) == "5", "missing 5-seed aggregate line"
+    # structured aggregate record mirrors the log line
+    rec = json.loads(open(os.path.join(
+        d, "metrics_run.jsonl")).read().splitlines()[-1])
+    assert len(rec["final_seed_mious"]) == 5
+    assert abs(rec["final_miou_mean"] * 100 - float(m.group(2))) < 5e-3
+    assert abs(rec["final_miou_std"] * 100 - float(m.group(3))) < 5e-3
 
 
 def test_synthetic_convergence_artifact_parses():
