@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--arch", default="resnet101_deeplab_imagenet",
                     help="any registry arch name (e.g. densenet161unet_imagenet)")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="measure each batch size this many times (min is "
+                         "reported, all samples recorded) — separates real "
+                         "throughput shape from tunnel-dispatch noise")
+    ap.add_argument("--concrete", default="",
+                    help="comma list of batch sizes to ALSO measure as a "
+                         "direct concrete-shape jit of the same serving fn "
+                         "(isolates symbolic-batch lowering artifacts)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--artifact", default="/tmp/serve_bench.jaxexport")
     args = ap.parse_args()
@@ -77,25 +85,70 @@ def main():
                "platform": jax.devices()[0].platform,
                "artifact_mb": round(os.path.getsize(args.artifact) / 1e6, 1),
                "batches": {}}
-    for b in batches:
+    import jax as _jax
+
+    def measure(fn, b, label):
+        """Time fn at batch b with DEVICE-RESIDENT inputs (headline numbers)
+        and, for diagnostics, with host numpy inputs.
+
+        Device-resident input is the production-representative measurement:
+        a real TPU serving host feeds inputs over PCIe (sub-ms for these
+        uint8 batches), while THIS environment reaches the chip through a
+        low/variable-bandwidth tunnel whose host->device input transfer
+        dominates and super-linearises the latency curve (measured round 3:
+        the round-2 'batch-8 dip' was entirely this transfer — see
+        results_evidence/serving/report.md)."""
         x = rng.randint(0, 256, size=(b,) + hw + (3,)).astype(np.uint8)
+        xd = _jax.device_put(x)
         t0 = time.perf_counter()
-        out = call(x)
+        out = fn(xd)
         assert int(np.asarray(out).max()) < args.num_classes
-        note(f"serve_bench: b={b} first call (compile) "
+        note(f"serve_bench: {label} b={b} first call (compile) "
              f"{time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = call(x)
-        np.asarray(out)  # sync
-        dt = time.perf_counter() - t0
+        np.asarray(fn(xd))  # second warmup call before timing
+
+        def timed(inp):
+            samples = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = fn(inp)
+                np.asarray(out)  # sync
+                samples.append(time.perf_counter() - t0)
+            return samples
+
+        dev = timed(xd)
+        host = timed(x)
+        dt = min(dev)
         img_s = args.iters * b / dt
         ms = 1000.0 * dt / args.iters
-        results["batches"][str(b)] = {
+        host_ms = 1000.0 * min(host) / args.iters
+        rec = {
             "images_per_sec": round(img_s, 1),
             "latency_ms": round(ms, 2),
+            "tunnel_host_input_latency_ms": round(host_ms, 2),
         }
-        note(f"serve_bench: b={b}: {img_s:.1f} img/s, {ms:.2f} ms/call")
+        if args.repeats > 1:
+            rec["latency_ms_samples"] = [
+                round(1000.0 * s / args.iters, 2) for s in dev]
+            rec["tunnel_host_input_samples"] = [
+                round(1000.0 * s / args.iters, 2) for s in host]
+        note(f"serve_bench: {label} b={b}: {img_s:.1f} img/s, "
+             f"{ms:.2f} ms/call device-input "
+             f"({host_ms:.2f} ms host-input through tunnel)")
+        return rec
+
+    for b in batches:
+        results["batches"][str(b)] = measure(call, b, "artifact")
+
+    if args.concrete:
+        from cutmix_seg_tpu.serve.export import make_serving_fn
+
+        cjit = _jax.jit(make_serving_fn(model, state.student))
+        results["concrete_jit_batches"] = {}
+        for b in [int(v) for v in args.concrete.split(",")]:
+            results["concrete_jit_batches"][str(b)] = measure(
+                cjit, b, "concrete-jit")
 
     print(json.dumps(results, indent=1))
     if args.out:
