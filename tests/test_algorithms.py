@@ -87,6 +87,7 @@ def test_vat_step_runs_fixed_and_adaptive():
         assert np.isfinite(float(metrics["cons_loss"])), f"adaptive={adaptive}"
 
 
+@pytest.mark.slow
 def test_vat_dir_from_student():
     cfg = VATConfig(vat_radius=0.5, vat_dir_from_student=True, conf_thresh=0.0)
     model, state, step = _setup(make_vat_step, cfg)
@@ -236,6 +237,7 @@ def test_synthetic_benchmark_aug_pair_geometry_aligns():
     assert err < 1e-4, err
 
 
+@pytest.mark.slow
 def test_synthetic_benchmark_all_algorithms_run():
     """Each algorithm path of the convergence harness executes (tiny iters)
     and returns a finite mIoU with identical sup/val draws across
