@@ -71,6 +71,12 @@ def common_options(with_geom_pair_opts: bool = False):
         click.option("--n_devices", type=int, default=-1),
         click.option("--resume", is_flag=True, default=False),
         click.option("--nan_check_interval", type=int, default=100),
+        click.option("--checkpoint_interval", type=int, default=1,
+                     help="save a resume checkpoint every N epochs (the "
+                          "final epoch always saves). The full train state "
+                          "is hundreds of MB for R101-scale models; on "
+                          "short-epoch runs a per-epoch save can dominate "
+                          "wall-clock — raise N to amortise it"),
         click.option("--seed", type=int, default=0),
         click.option("--profile_dir", type=click.Path(), default=None,
                      help="capture a jax.profiler trace of a few first-epoch "

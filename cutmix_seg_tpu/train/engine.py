@@ -365,8 +365,11 @@ class TrainEngine:
                         p["iters_per_epoch"] * self.global_batch
                         / max(t2 - t1, 1e-9),
                 })
-                ckpt.save_checkpoint(self.ctx.checkpoint_dir, self.state,
-                                     int(self.state.step))
+                ci = max(1, int(p.get("checkpoint_interval", 1)))
+                if ((epoch_i + 1) % ci == 0
+                        or epoch_i + 1 == p["num_epochs"]):
+                    ckpt.save_checkpoint(self.ctx.checkpoint_dir, self.state,
+                                         int(self.state.step))
 
         self.finalise()
 

@@ -197,8 +197,10 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
             ctx.log_metrics({"epoch": epoch_i + 1, "seed": seeds[k],
                              "sup_loss": float(m["sup_loss"][k]),
                              "val_miou": float(iou.mean())})
-        ckpt.save_checkpoint(ctx.checkpoint_dir, mstate, int(
-            np.asarray(unstack_state(mstate, 0).step)))
+        ci = max(1, int(p.get("checkpoint_interval", 1)))
+        if (epoch_i + 1) % ci == 0 or epoch_i + 1 == p["num_epochs"]:
+            ckpt.save_checkpoint(ctx.checkpoint_dir, mstate, int(
+                np.asarray(unstack_state(mstate, 0).step)))
 
     # the paper-table aggregate: mean +/- std over the split seeds
     # (reference README.md reports 5-seed mean/stddev rows)

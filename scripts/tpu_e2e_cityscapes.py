@@ -140,6 +140,10 @@ def main():
                     help="paper recipe default; raise for random-init "
                          "convergence experiments")
     ap.add_argument("--rampup", type=int, default=-1)
+    ap.add_argument("--checkpoint_interval", type=int, default=10,
+                    help="epochs between resume-checkpoint saves (the full "
+                         "R101 train state is ~700 MB; per-epoch saves can "
+                         "dominate short-epoch wall-clock)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_")
@@ -182,6 +186,7 @@ def main():
         val_seed=131, save_preds=False, save_model=False, num_workers=4,
         compute_dtype="bfloat16", n_devices=-1, resume=False,
         nan_check_interval=100, seed=0, no_pretrained=True,
+        checkpoint_interval=args.checkpoint_interval,
     )
     if args.algorithm == "mask_mt":
         from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn

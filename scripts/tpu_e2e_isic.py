@@ -113,6 +113,10 @@ def main():
     ap.add_argument("--task", default="easy", choices=["easy", "hard"],
                     help="'easy' saturates quickly (pipeline exercise); "
                          "'hard' leaves semisup headroom (gain experiments)")
+    ap.add_argument("--checkpoint_interval", type=int, default=10,
+                    help="epochs between resume-checkpoint saves (the full "
+                         "train state is large; per-epoch saves can "
+                         "dominate short-epoch wall-clock)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_isic_")
@@ -155,6 +159,7 @@ def main():
         split_seed=12345, split_path=None, val_seed=131, save_preds=False,
         save_model=False, num_workers=4, compute_dtype="bfloat16",
         n_devices=-1, resume=False, nan_check_interval=100, seed=0,
+        checkpoint_interval=args.checkpoint_interval,
         no_pretrained=True,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn

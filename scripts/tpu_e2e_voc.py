@@ -101,6 +101,10 @@ def main():
                          "many epochs — the supervised warm-start phase the "
                          "random-init recipe needs (reference --rampup flag)")
     ap.add_argument("--n_train", type=int, default=24)
+    ap.add_argument("--checkpoint_interval", type=int, default=10,
+                    help="epochs between resume-checkpoint saves (the full "
+                         "R101 train state is ~700 MB; per-epoch saves can "
+                         "dominate short-epoch wall-clock)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_voc_")
@@ -145,7 +149,7 @@ def main():
         split_seed=12345, split_path=None, val_seed=131, save_preds=False,
         save_model=False, num_workers=4, compute_dtype="bfloat16",
         n_devices=-1, resume=False, nan_check_interval=100, seed=0,
-        no_pretrained=True,
+        no_pretrained=True, checkpoint_interval=args.checkpoint_interval,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
     job.submit("tpu_e2e_voc", args.job_desc, fn, p,

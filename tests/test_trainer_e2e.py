@@ -137,6 +137,27 @@ def test_mask_mt_trainer_resume(tiny_zip, tmp_path, monkeypatch):
     assert "Epoch 2:" in log
 
 
+def test_checkpoint_interval_amortises_saves(tiny_zip, tmp_path, monkeypatch):
+    """checkpoint_interval=N saves every Nth epoch plus the final epoch —
+    the full train state is ~700 MB at R101 scale, so per-epoch saves can
+    dominate short-epoch wall-clock (measured ~45 s/epoch on the bench
+    host)."""
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    job.submit(
+        "test_ckpt_interval", "run1", train_seg_semisup_mask_mt,
+        _params(tiny_zip, num_epochs=3, checkpoint_interval=2,
+                save_model=False),
+        results_root=str(tmp_path / "results"))
+    run_dir = tmp_path / "results" / "test_ckpt_interval" / "run1"
+    log = (run_dir / "log_run1.txt").read_text()
+    assert "Epoch 3:" in log
+    ckpts = sorted(os.listdir(run_dir / "checkpoints"))
+    # epoch 2 (step 6) and the always-saved final epoch 3 (step 9)
+    assert ckpts == ["ckpt_000000006.msgpack", "ckpt_000000009.msgpack"], ckpts
+
+
 def test_mask_mt_trainer_cutout_pi(tiny_zip, tmp_path, monkeypatch):
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
 
