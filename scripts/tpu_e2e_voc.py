@@ -105,6 +105,9 @@ def main():
                     help="epochs between resume-checkpoint saves (the full "
                          "R101 train state is ~700 MB; per-epoch saves can "
                          "dominate short-epoch wall-clock)")
+    ap.add_argument("--resume", action="store_true", default=False,
+                    help="resume from the latest checkpoint in this "
+                         "job_desc's run dir (engine --resume semantics)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_voc_")
@@ -148,7 +151,7 @@ def main():
         batch_size=args.batch_size, n_sup=args.n_sup, n_unsup=-1, n_val=-1,
         split_seed=12345, split_path=None, val_seed=131, save_preds=False,
         save_model=False, num_workers=4, compute_dtype="bfloat16",
-        n_devices=-1, resume=False, nan_check_interval=100, seed=0,
+        n_devices=-1, resume=args.resume, nan_check_interval=100, seed=0,
         no_pretrained=True, checkpoint_interval=args.checkpoint_interval,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
