@@ -23,3 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 # Numerical-parity tests compare against torch fp32; avoid bf16-precision
 # matmuls on the CPU backend (TPU runs choose their own precision).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The quick bar is dominated by XLA CPU compiles of many small distinct
+# programs; the persistent compilation cache (HLO-keyed) makes every run
+# after the first reuse them. Tests use their own cache dir (separate from
+# the trainers' ~/.cache/cutmix_seg_tpu/xla) and cache even sub-second
+# compiles — the suite's cost is the long tail of those.
+from cutmix_seg_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compilation_cache,
+)
+
+if enable_persistent_compilation_cache(
+        os.path.join(os.path.expanduser("~"), ".cache", "cutmix_seg_tpu",
+                     "xla-tests")) is not None:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

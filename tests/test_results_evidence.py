@@ -70,6 +70,35 @@ def test_cityscapes_scale_pair_parses():
     assert f"{mious['semisup']:.3f}%" in report
 
 
+def test_voc_scale_pair_parses_and_separates():
+    """Round-3 VOC warm-start pair (VERDICT item 6): identical 80-epoch
+    headline-shape arms differing only in cons_weight; the rampup-
+    warm-started semisup arm must beat the supervised arm clearly."""
+    d = os.path.join(ROOT, "voc_scale")
+    mious, clf1 = {}, {}
+    for run in ("semisup80", "supervised80"):
+        text = open(os.path.join(d, f"log_{run}.txt")).read()
+        vals = re.findall(r"VAL mIoU=([\d.]+)%", text)
+        assert len(vals) == 80, run
+        mious[run] = [float(v) for v in vals]
+        clf1[run] = re.search(r"Epoch 1: .*clf loss=([\d.]+)", text).group(1)
+        lines = open(os.path.join(d, f"metrics_{run}.jsonl")).read().splitlines()
+        assert json.loads(lines[-1])["epoch"] == 80
+        # recipe shape: headline flags present in the settings dump
+        for flag in ("crop_size=321,321", "batch_size=10", "mask_mode=mix",
+                     "aug_scale_hung=True", "aug_strong_colour=True",
+                     "rampup="):
+            assert flag in text, (run, flag)
+    # warm-start determinism: identical supervised phase before the ramp
+    assert float(clf1["semisup80"]) == pytest.approx(
+        float(clf1["supervised80"]), abs=1e-4)
+    # the consistency term must separate the pair (positive delta)
+    assert mious["semisup80"][-1] > mious["supervised80"][-1] + 1.0
+    report = open(os.path.join(d, "report.md")).read()
+    assert f"{mious['semisup80'][-1]:.2f}" in report
+    assert f"{mious['supervised80'][-1]:.2f}" in report
+
+
 def test_multi_seed_demo_artifact_parses():
     """The paper's 5-seed protocol in one program: five seeds, per-seed
     independence of BOTH loss terms, and the paper-table aggregate line."""

@@ -8,6 +8,7 @@ the DenseNet features mapping on a reduced config."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn as nn
 
@@ -120,6 +121,7 @@ def test_resnet_import_full_network_parity():
                                    err_msg=f"mismatch at {name}")
 
 
+@pytest.mark.slow  # quick bar keeps the deeplab2-style full-model parity
 def test_densenet_import_features_parity():
     from torch.nn import functional as F
 

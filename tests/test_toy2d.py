@@ -81,6 +81,7 @@ def test_toy2d_training_end_to_end(tmp_path):
     assert "FINAL RESULT: Error rate=" in log
 
 
+@pytest.mark.slow  # quick bar: the mean-teacher e2e covers the trainer path
 @pytest.mark.parametrize("model", ["pi", "pi_onebatch"])
 def test_toy2d_pi_variants(tmp_path, model):
     from cutmix_seg_tpu.toy2d.train import train_toy2d

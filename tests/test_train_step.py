@@ -365,8 +365,11 @@ def test_all_steps_support_dropout_models():
     assert _np.isfinite(float(metrics["cons_loss"]))
 
 
-@pytest.mark.parametrize("mode,conf", [("mix", 0.0), ("mix", 0.5),
-                                       ("zero", 0.0)])
+@pytest.mark.parametrize(
+    "mode,conf",
+    [pytest.param("mix", 0.0, marks=pytest.mark.slow),
+     ("mix", 0.5),  # quick bar: the most general variant (conf gate live)
+     pytest.param("zero", 0.0, marks=pytest.mark.slow)])
 def test_grad_accum_equivalent_to_single_step(mode, conf):
     """grad_accum=2 must reproduce the unchunked step: identical mask stream
     (full-batch sampling), gradient = mean of chunk gradients == unchunked
@@ -628,13 +631,11 @@ def test_grad_accum_training_bn_sequential_stats():
     assert moved
 
 
-@pytest.mark.parametrize(
-    "algo",
-    ["mask_mt",
-     pytest.param("ict", marks=pytest.mark.slow),
-     pytest.param("vat_mt", marks=pytest.mark.slow),
-     pytest.param("aug_mt", marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("algo", ["mask_mt", "ict", "vat_mt", "aug_mt"])
 def test_grad_accum_training_bn_runs_all_algorithms(algo):
+    # quick bar: training-BN accumulation semantics are covered by
+    # test_grad_accum_training_bn_sequential_stats; these are smoke runs
     """K=2 with TRAINING BatchNorm (the DenseUNet/ISIC recipe shape) runs for
     every algorithm: finite metrics, advanced step, teacher stats updated by
     the consistency branch's teacher forwards."""
