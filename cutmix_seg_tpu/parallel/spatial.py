@@ -45,6 +45,7 @@ __all__ = [
     "spatial_batch_axis_size",
     "pad_batch_h",
     "jit_spatial_forward",
+    "jit_spatial_step",
     "make_spatial_predict_fn",
     "make_spatial_eval_fn",
 ]
@@ -133,6 +134,58 @@ def jit_spatial_forward(model, mesh):
         return jax.jit(fwd, in_shardings=(repl, sp), out_shardings=sp)
 
     return _cached(("fwd", stable_ident(model), stable_ident(mesh)), build)
+
+
+def _spatial_batch_spec(mesh, leaf) -> P:
+    """Partition spec for one train-batch leaf in spatial-train mode.
+
+    Image-shaped tensors — (B, H, W[, C]) with a real spatial extent — carry
+    the batch axis over 'data' AND the H axis over 'model'; per-sample
+    small tensors (labels vectors, 2x3 affine matrices, scalars) shard the
+    batch axis only. The `shape[1] >= 8` guard keeps tiny non-spatial middle
+    axes (e.g. the 2 rows of an affine matrix) off the model axis.
+    """
+    if mesh.shape.get("model", 1) > 1 and leaf.ndim >= 3 and leaf.shape[1] >= 8:
+        return P("data", "model")
+    return P("data")
+
+
+def jit_spatial_step(step_fn, mesh, example_batch):
+    """jit a (state, batch, scalar) TRAIN step with activations spatially
+    partitioned: batch over 'data', image H over 'model'.
+
+    The data-parallel mapping (parallel.mesh.jit_sharded_step) needs
+    per-chip batch >= 1; at very high resolution (full 1024x2048 Cityscapes
+    frames, the x4 originals the converter downsamples from) even batch 1
+    can exceed one chip's activation memory. Here each image's rows are
+    sharded over the 'model' axis, so per-chip activation memory scales
+    ~1/n_model through the whole conv stack — forward AND backward — with
+    GSPMD inserting the halo exchanges for the convolutions and psums for
+    the loss/gradient reductions. State stays replicated; the optimizer/EMA
+    update is unchanged. No reference counterpart (single GPU caps training
+    resolution; reference: train_seg_semisup_mask_mt.py:58) — this is the
+    training-side completion of SURVEY §5's spatial-partitioning row.
+
+    Works on the raw-tensor step batch (pre-augmented images/masks feeding
+    straight into the model): input shardings fully determine the layout —
+    there are no in-step gathers, so GSPMD propagates the H-sharding through
+    the conv stack without extra constraints. `example_batch` provides the
+    leaf shapes the per-leaf specs are derived from. The image H extent must
+    divide exactly by the H-shard ways (jax rejects uneven input shardings)
+    — pick the crop accordingly or pad rows with ignore labels, as
+    pad_batch_h does for eval.
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, _spatial_batch_spec(mesh, jnp.asarray(leaf))),
+        example_batch)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
 
 
 def make_spatial_predict_fn(model, mean, std, mesh):

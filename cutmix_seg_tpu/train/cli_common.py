@@ -85,6 +85,13 @@ def common_options(with_geom_pair_opts: bool = False):
                      help="partition the image H axis over the mesh during "
                           "evaluation instead of the batch axis (for "
                           "high-res/low-batch validation; single-host)"),
+        click.option("--spatial_train", type=int, default=1,
+                     help="TPU extra: shard the crop H axis N ways over the "
+                          "mesh 'model' axis during TRAINING (batch over the "
+                          "remaining 'data' axis) — per-chip activation "
+                          "memory ~1/N through forward and backward for "
+                          "high-resolution crops; crop height must divide "
+                          "by N"),
         click.option("--no_pretrained", is_flag=True, default=False,
                      help="skip loading pretrained backbone weights (random "
                           "init; for machines without the weight files)"),

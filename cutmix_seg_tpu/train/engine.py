@@ -98,6 +98,13 @@ class TrainEngine:
                 "--eval_spatial places H-sharded global arrays and is "
                 "single-host only; use batch-parallel eval on pods")
         self.crop_hw = common.parse_crop_size(p["crop_size"])
+        self.spatial_n = int(p.get("spatial_train", 1) or 1)
+        if self.spatial_n > 1 and self.crop_hw[0] % self.spatial_n != 0:
+            raise ValueError(
+                f"--spatial_train {self.spatial_n} requires the crop height "
+                f"({self.crop_hw[0]}) to divide exactly by the H-shard ways; "
+                "pick a crop height that is a multiple (sharded dims must "
+                "divide the mesh axis)")
         if self.crop_hw is None:
             raise ValueError("the TPU pipeline requires a crop_size (static shapes)")
 
@@ -161,8 +168,14 @@ class TrainEngine:
                         f"checkpoint step; got {np.asarray(steps).tolist()} — "
                         "use a shared results directory across hosts")
 
+        n_dev = p.get("n_devices", -1)
+        if n_dev != -1 and n_dev % self.spatial_n != 0:
+            raise ValueError(
+                f"--n_devices {n_dev} must divide by --spatial_train "
+                f"{self.spatial_n} (total devices = data x model axes)")
         self.mesh = make_mesh(
-            None if p.get("n_devices", -1) == -1 else p["n_devices"])
+            None if n_dev == -1 else n_dev // self.spatial_n,
+            n_model=self.spatial_n)
         self.n_data = self.mesh.shape["data"]
 
         self.geom = GeomConfig.from_cli(
@@ -196,11 +209,31 @@ class TrainEngine:
         spec = self.spec
         use_cons = self.algo_cfg.cons_weight > 0.0
 
+        spatial_n = self.spatial_n
+        mesh = self.mesh
+
         def fused_step(state, raw, scalars):
             sup = augmentor.sup(raw["sup"])
             batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
             if use_cons:
                 batch.update(spec.compose(augmentor, raw, scalars["key"]))
+            if spatial_n > 1:
+                # --spatial_train: re-lay the augmented crops batch-over-
+                # 'data' x H-over-'model' so the conv stack (fwd AND bwd)
+                # runs spatially partitioned — per-chip activation memory
+                # ~1/n_model at high resolution. The raw canvases stay
+                # data-sharded; only the fixed-size crop tensors reshard
+                # (parallel/spatial.py::jit_spatial_step is the raw-tensor
+                # equivalent, proven equal to data-parallel in
+                # tests/test_spatial.py).
+                from jax.sharding import NamedSharding, PartitionSpec
+                sp = NamedSharding(mesh, PartitionSpec("data", "model"))
+                batch = {
+                    k: (jax.lax.with_sharding_constraint(v, sp)
+                        if (hasattr(v, "ndim") and v.ndim >= 3
+                            and v.shape[1] % spatial_n == 0
+                            and v.shape[1] >= 8) else v)
+                    for k, v in batch.items()}
             new_state, metrics = algo_step(state, batch, scalars["ramp"])
             # metrics accumulate ON DEVICE inside the same program: the epoch
             # loop carries running sums and fetches them once per epoch,

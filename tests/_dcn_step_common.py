@@ -16,7 +16,9 @@ import jax
 import numpy as np
 
 GLOBAL_BATCH = 8
-HW = 33
+# 32 rows: divisible by the 4-way H-shard of the spatial-train test (sharded
+# dims must divide exactly; jax rejects uneven device_put shardings)
+HW = 32
 N_CLASSES = 5
 
 

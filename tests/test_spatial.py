@@ -228,3 +228,62 @@ def test_make_mesh_validation():
         make_mesh(n_model=0)
     assert dict(make_mesh(n_model=2).shape) == {"data": 4, "model": 2}
     assert dict(make_mesh(3).shape) == {"data": 3, "model": 1}
+
+
+@pytest.mark.slow
+def test_spatial_train_step_matches_data_parallel():
+    """jit_spatial_step: one full CutMix mean-teacher train step with
+    activations partitioned batch-over-'data' x H-over-'model' (2x4 mesh)
+    must reproduce the data-parallel (8x1) step — same losses, same updated
+    parameters — proving the spatial mapping is a pure layout change through
+    forward AND backward (grad psums + GSPMD halos), usable when one image's
+    activations exceed a chip."""
+    import _dcn_step_common as common
+    from cutmix_seg_tpu.parallel.mesh import replicated, shard_batch
+    from cutmix_seg_tpu.parallel.spatial import (
+        _spatial_batch_spec,
+        jit_spatial_step,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices (conftest)")
+
+    batch_np = common.global_batch()  # (8, 32, 32, ...) images
+
+    # reference: data-parallel over all 8 devices
+    mesh_dp = make_mesh(8)
+    _, state_dp, step_dp = common.build_step_and_state(mesh_dp)
+    batch_dp = shard_batch(
+        mesh_dp, {k: jnp.asarray(v) for k, v in batch_np.items()})
+    state_dp, metrics_dp = common.run_two_steps(
+        mesh_dp, state_dp, step_dp, batch_dp)
+
+    # spatial: batch 2-way over 'data', image H (32 rows) 4-way
+    # over 'model'
+    mesh_sp = make_mesh(2, n_model=4)
+    _, state_sp, step_sp = common.build_step_and_state(mesh_sp)
+    jstep = jit_spatial_step(step_sp, mesh_sp, batch_np)
+    sh = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            jnp.asarray(leaf),
+            jax.sharding.NamedSharding(
+                mesh_sp, _spatial_batch_spec(mesh_sp, np.asarray(leaf)))),
+        batch_np)
+    state_sp = jax.device_put(state_sp, replicated(mesh_sp))
+    for _ in range(2):
+        state_sp, metrics_sp = jstep(state_sp, sh, jnp.float32(1.0))
+    jax.block_until_ready(metrics_sp)
+
+    for k in metrics_dp:
+        a, b = np.asarray(metrics_dp[k]), np.asarray(metrics_sp[k])
+        if a.ndim == 0:
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6,
+                                       err_msg=k)
+    # updated student params must match too (the gradients agree)
+    flat_dp, _ = jax.tree_util.tree_flatten(
+        jax.tree_util.tree_map(np.asarray, state_dp.student.params))
+    flat_sp, _ = jax.tree_util.tree_flatten(
+        jax.tree_util.tree_map(np.asarray, state_sp.student.params))
+    assert len(flat_dp) == len(flat_sp)
+    for a, b in zip(flat_dp, flat_sp):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)

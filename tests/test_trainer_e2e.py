@@ -472,3 +472,48 @@ def test_mask_mt_trainer_grad_accum(tiny_zip, tmp_path, monkeypatch):
     log = (tmp_path / "results" / "test_mask_mt_ga" / "run1"
            / "log_run1.txt").read_text()
     assert "Epoch 1:" in log and "VAL mIoU=" in log
+
+
+def test_mask_mt_trainer_spatial_train_matches_data_parallel(
+        tiny_zip, tmp_path, monkeypatch):
+    """--spatial_train 2: the fused train step reshards the augmented crops
+    H-over-'model' (mesh 4x2). With the same data-axis size (and therefore
+    identical host streams and global batches) as a plain 4-device
+    data-parallel run, every epoch's losses and mIoU must match — the
+    spatial mapping is a layout change, not a semantic one."""
+    import json
+
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    root = str(tmp_path / "results")
+    job.submit("test_sp_train", "dp", train_seg_semisup_mask_mt,
+               _params(tiny_zip, n_devices=4), results_root=root)
+    job.submit("test_sp_train", "sp", train_seg_semisup_mask_mt,
+               _params(tiny_zip, n_devices=8, spatial_train=2),
+               results_root=root)
+
+    runs = {}
+    for desc in ("dp", "sp"):
+        path = tmp_path / "results" / "test_sp_train" / desc / \
+            f"metrics_{desc}.jsonl"
+        runs[desc] = [json.loads(l) for l in
+                      path.read_text().splitlines()]
+    assert len(runs["dp"]) == len(runs["sp"]) == 2
+    for a, b in zip(runs["dp"], runs["sp"]):
+        for k in ("sup_loss", "cons_loss", "val_miou"):
+            assert a[k] == pytest.approx(b[k], rel=2e-4, abs=1e-6), (k, a, b)
+
+
+def test_spatial_train_rejects_indivisible_crop(tiny_zip, tmp_path,
+                                                monkeypatch):
+    """--spatial_train N with a crop height not divisible by N must fail at
+    startup with a clear message, not mid-epoch."""
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    with pytest.raises(ValueError, match="spatial_train"):
+        job.submit("test_sp_bad", "run", train_seg_semisup_mask_mt,
+                   _params(tiny_zip, n_devices=8, spatial_train=3,
+                           crop_size="32,32"),
+                   results_root=str(tmp_path / "results"))
