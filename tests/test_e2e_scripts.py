@@ -82,3 +82,23 @@ def test_voc_tree_generator_is_source_valid(tmp_path):
     valid = lab[lab != 255]
     assert valid.size and valid.max() <= 20
     assert (lab == 255).any(), "VOC-style boundary band expected"
+
+
+def test_camvid_zip_generator_is_source_valid(tmp_path):
+    from cutmix_seg_tpu.data.sources import CamVidDataSource
+
+    mod = _load("tpu_e2e_camvid")
+    zp = str(tmp_path / "camvid.zip")
+    mod.make_zip(zp, n_train=3, n_val=2, n_test=2, hw=(48, 64), seed=1)
+
+    src = CamVidDataSource(n_val=0, val_rng=np.random.RandomState(0),
+                           trainval_perm=None, zip_path=zp)
+    assert src.num_classes == 11
+    assert len(src.train_ndx) == 3 and len(src.val_ndx) == 2
+    assert len(src.test_ndx) == 2
+    img = src.get_image(int(src.train_ndx[0]))
+    lab = src.get_labels(int(src.train_ndx[0]))
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    # void band (raw value 11) must arrive remapped to 255
+    assert 255 in np.unique(lab) and lab.max() == 255
+    assert set(np.unique(lab)) - {255} <= set(range(11))
