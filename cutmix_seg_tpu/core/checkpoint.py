@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import Optional
 
 import flax.serialization
@@ -21,7 +22,11 @@ import jax
 def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 2) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     state = jax.device_get(state)
-    data = flax.serialization.to_bytes(state)
+    return _write(ckpt_dir, state, step, keep)
+
+
+def _write(ckpt_dir: str, host_state, step: int, keep: int) -> str:
+    data = flax.serialization.to_bytes(host_state)
     path = os.path.join(ckpt_dir, f"ckpt_{step:09d}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -29,6 +34,50 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 2) -> str:
     os.replace(tmp, path)
     _prune(ckpt_dir, keep)
     return path
+
+
+_pending: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
+
+
+def save_checkpoint_async(ckpt_dir: str, state, step: int,
+                          keep: int = 2) -> None:
+    """Overlap the serialise+write of a checkpoint with training.
+
+    The D2H fetch (jax.device_get) runs on the caller's thread — it must
+    complete before the next train step donates the state's device buffers —
+    but msgpack serialisation and the file write (seconds for an R101-scale
+    ~700 MB TrainState) proceed on a background thread while the next epoch
+    trains. At most one save is in flight: a new call joins the previous one
+    first (bounding host memory to one extra state copy), and any writer
+    error surfaces on the next call or on wait_pending_saves(). Call
+    wait_pending_saves() before reading the checkpoint back or exiting.
+    """
+    global _pending
+    wait_pending_saves()
+    os.makedirs(ckpt_dir, exist_ok=True)
+    host_state = jax.device_get(state)
+
+    def work():
+        global _pending_error
+        try:
+            _write(ckpt_dir, host_state, step, keep)
+        except BaseException as e:  # surfaced by wait_pending_saves
+            _pending_error = e
+
+    _pending = threading.Thread(target=work, name="ckpt-writer", daemon=True)
+    _pending.start()
+
+
+def wait_pending_saves() -> None:
+    """Join the in-flight async checkpoint write, re-raising its error."""
+    global _pending, _pending_error
+    if _pending is not None:
+        _pending.join()
+        _pending = None
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise err
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -330,6 +330,14 @@ class TrainEngine:
     def run(self):
         if not self.setup():
             return
+        try:
+            self._run_epochs()
+        finally:
+            # join the async checkpoint writer on every exit path (normal
+            # end, NaN bail, exception) so no save is lost or half-written
+            ckpt.wait_pending_saves()
+
+    def _run_epochs(self):
         p = self.p
         print("Training...")
         for epoch_i in range(self.start_epoch, p["num_epochs"]):
@@ -401,8 +409,10 @@ class TrainEngine:
                 ci = max(1, int(p.get("checkpoint_interval", 1)))
                 if ((epoch_i + 1) % ci == 0
                         or epoch_i + 1 == p["num_epochs"]):
-                    ckpt.save_checkpoint(self.ctx.checkpoint_dir, self.state,
-                                         int(self.state.step))
+                    # D2H fetch now; serialise+write overlap the next epoch
+                    ckpt.save_checkpoint_async(
+                        self.ctx.checkpoint_dir, self.state,
+                        int(self.state.step))
 
         self.finalise()
 

@@ -29,6 +29,32 @@ def test_checkpoint_roundtrip_and_prune(tmp_path):
     assert int(restored["step"]) == 7
 
 
+def test_checkpoint_async_roundtrip_and_error(tmp_path):
+    """save_checkpoint_async: the background write must produce the same
+    bytes a synchronous save would, joins bound the in-flight count to one,
+    and writer errors surface on the next wait."""
+    import pytest
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.int32(7)}
+    d = str(tmp_path / "ckpts_async")
+    for s in (1, 2, 3):
+        ckpt.save_checkpoint_async(d, state, step=s, keep=2)
+    ckpt.wait_pending_saves()
+    files = sorted(os.listdir(d))
+    assert files == ["ckpt_000000002.msgpack", "ckpt_000000003.msgpack"]
+    sync_path = ckpt.save_checkpoint(str(tmp_path / "sync"), state, step=3)
+    a = open(ckpt.latest_checkpoint(d), "rb").read()
+    assert a == open(sync_path, "rb").read()
+
+    # a failing write surfaces on the next wait (and leaves no live thread)
+    blocker = str(tmp_path / "not_a_dir")
+    open(blocker, "w").write("file, not dir")
+    with pytest.raises(OSError):
+        ckpt.save_checkpoint_async(blocker, state, step=9)
+        ckpt.wait_pending_saves()
+    ckpt.wait_pending_saves()  # idempotent after the error drained
+
+
 def test_export_params(tmp_path):
     path = str(tmp_path / "model.msgpack")
     ckpt.export_params(path, {"k": jnp.ones(4)})
