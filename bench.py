@@ -36,30 +36,12 @@ WARMUP = 3
 ITERS = 30
 
 
-def probe_devices(timeout_s: int = 240) -> bool:
-    """Fail fast when the TPU tunnel is dead.
-
-    On this environment jax.devices() blocks indefinitely while the axon
-    tunnel is down (observed: multi-hour outages), which would hang the
-    whole bench run. Probe device initialisation in a subprocess with a
-    timeout so an outage produces a clear, fast diagnostic instead.
-    """
-    import subprocess
-    import sys as _sys
-
-    try:
-        proc = subprocess.run(
-            [_sys.executable, "-c",
-             "import jax; print(len(jax.devices()))"],
-            timeout=timeout_s, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True)
-        return proc.returncode == 0 and int(proc.stdout.strip() or 0) >= 1
-    except (subprocess.TimeoutExpired, ValueError):
-        return False
-
-
 def main():
-    if not probe_devices():
+    from cutmix_seg_tpu.utils.device_probe import probe_device_count
+
+    # fail fast when the TPU tunnel is dead instead of hanging on
+    # jax.devices() (observed: multi-hour outages)
+    if probe_device_count() < 1:
         note("bench: device backend unreachable (TPU tunnel down?) — "
              "aborting instead of hanging")
         sys.exit(3)

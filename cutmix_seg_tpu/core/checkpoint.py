@@ -36,8 +36,11 @@ def _write(ckpt_dir: str, host_state, step: int, keep: int) -> str:
     return path
 
 
-_pending: Optional[threading.Thread] = None
-_pending_error: Optional[BaseException] = None
+# one writer slot per checkpoint directory: independent trainers in the same
+# process (multi-seed sweeps, tests) never join or error-contaminate each
+# other. Guarded by _writers_lock; each slot holds (thread, error-box).
+_writers: dict = {}
+_writers_lock = threading.Lock()
 
 
 def save_checkpoint_async(ckpt_dir: str, state, step: int,
@@ -48,36 +51,51 @@ def save_checkpoint_async(ckpt_dir: str, state, step: int,
     complete before the next train step donates the state's device buffers —
     but msgpack serialisation and the file write (seconds for an R101-scale
     ~700 MB TrainState) proceed on a background thread while the next epoch
-    trains. At most one save is in flight: a new call joins the previous one
-    first (bounding host memory to one extra state copy), and any writer
-    error surfaces on the next call or on wait_pending_saves(). Call
-    wait_pending_saves() before reading the checkpoint back or exiting.
+    trains. At most one save per directory is in flight: a new call joins
+    the previous one first (bounding host memory to one extra state copy),
+    and any writer error surfaces on the next call or on
+    wait_pending_saves(). Call wait_pending_saves(ckpt_dir) before reading
+    the checkpoint back or exiting.
     """
-    global _pending
-    wait_pending_saves()
+    key = os.path.abspath(ckpt_dir)
+    wait_pending_saves(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     host_state = jax.device_get(state)
+    box: list = []
 
     def work():
-        global _pending_error
         try:
             _write(ckpt_dir, host_state, step, keep)
         except BaseException as e:  # surfaced by wait_pending_saves
-            _pending_error = e
+            box.append(e)
 
-    _pending = threading.Thread(target=work, name="ckpt-writer", daemon=True)
-    _pending.start()
+    t = threading.Thread(target=work, name="ckpt-writer", daemon=True)
+    with _writers_lock:
+        _writers[key] = (t, box)
+    t.start()
 
 
-def wait_pending_saves() -> None:
-    """Join the in-flight async checkpoint write, re-raising its error."""
-    global _pending, _pending_error
-    if _pending is not None:
-        _pending.join()
-        _pending = None
-    if _pending_error is not None:
-        err, _pending_error = _pending_error, None
-        raise err
+def wait_pending_saves(ckpt_dir: Optional[str] = None) -> None:
+    """Join in-flight async checkpoint writes, re-raising the first error.
+
+    With ``ckpt_dir`` joins that directory's writer only; without, joins all
+    (engine shutdown path).
+    """
+    with _writers_lock:
+        if ckpt_dir is None:
+            items = list(_writers.items())
+        else:
+            key = os.path.abspath(ckpt_dir)
+            items = [(key, _writers[key])] if key in _writers else []
+    first_error = None
+    for key, (t, box) in items:
+        t.join()
+        with _writers_lock:
+            _writers.pop(key, None)
+        if box and first_error is None:
+            first_error = box[0]
+    if first_error is not None:
+        raise first_error
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

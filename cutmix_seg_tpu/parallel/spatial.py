@@ -139,13 +139,26 @@ def jit_spatial_forward(model, mesh):
 def _spatial_batch_spec(mesh, leaf) -> P:
     """Partition spec for one train-batch leaf in spatial-train mode.
 
-    Image-shaped tensors — (B, H, W[, C]) with a real spatial extent — carry
-    the batch axis over 'data' AND the H axis over 'model'; per-sample
-    small tensors (labels vectors, 2x3 affine matrices, scalars) shard the
-    batch axis only. The `shape[1] >= 8` guard keeps tiny non-spatial middle
-    axes (e.g. the 2 rows of an affine matrix) off the model axis.
+    Accepts anything with a shape (host array, jax array, traced tensor) —
+    only ``np.shape`` is read, so no device transfer happens. Image-shaped
+    tensors — (B, H, W[, C]) with a real spatial extent — carry the batch
+    axis over 'data' AND the H axis over 'model'; per-sample small tensors
+    (label vectors, 2x3 affine matrices, scalars) shard the batch axis
+    only. The `shape[1] >= 8` guard keeps tiny non-spatial middle axes
+    (e.g. the 2 rows of an affine matrix) off the model axis. An image
+    leaf whose H does not divide the shard ways is an error (jax rejects
+    uneven input shardings; silently data-sharding it would quietly drop
+    the memory saving the caller asked for).
     """
-    if mesh.shape.get("model", 1) > 1 and leaf.ndim >= 3 and leaf.shape[1] >= 8:
+    import numpy as _np
+
+    shape = _np.shape(leaf)
+    n_model = mesh.shape.get("model", 1)
+    if n_model > 1 and len(shape) >= 3 and shape[1] >= 8:
+        if shape[1] % n_model != 0:
+            raise ValueError(
+                f"spatial-train leaf of shape {shape}: H axis ({shape[1]}) "
+                f"must divide the {n_model}-way 'model' shard")
         return P("data", "model")
     return P("data")
 
@@ -176,9 +189,9 @@ def jit_spatial_step(step_fn, mesh, example_batch):
     pad_batch_h does for eval.
     """
     repl = NamedSharding(mesh, P())
+    # shape inspection only — never materialises/transfers the example batch
     batch_sh = jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(
-            mesh, _spatial_batch_spec(mesh, jnp.asarray(leaf))),
+        lambda leaf: NamedSharding(mesh, _spatial_batch_spec(mesh, leaf)),
         example_batch)
     return jax.jit(
         step_fn,

@@ -98,6 +98,8 @@ class TrainEngine:
                 "--eval_spatial places H-sharded global arrays and is "
                 "single-host only; use batch-parallel eval on pods")
         self.crop_hw = common.parse_crop_size(p["crop_size"])
+        if self.crop_hw is None:
+            raise ValueError("the TPU pipeline requires a crop_size (static shapes)")
         self.spatial_n = int(p.get("spatial_train", 1) or 1)
         if self.spatial_n > 1 and self.crop_hw[0] % self.spatial_n != 0:
             raise ValueError(
@@ -105,8 +107,6 @@ class TrainEngine:
                 f"({self.crop_hw[0]}) to divide exactly by the H-shard ways; "
                 "pick a crop height that is a multiple (sharded dims must "
                 "divide the mesh axis)")
-        if self.crop_hw is None:
-            raise ValueError("the TPU pipeline requires a crop_size (static shapes)")
 
         ds_dict = datasets.load_dataset(
             p["dataset"], p["n_val"], p["val_seed"], p["n_sup"], p["n_unsup"],
@@ -222,17 +222,18 @@ class TrainEngine:
                 # 'data' x H-over-'model' so the conv stack (fwd AND bwd)
                 # runs spatially partitioned — per-chip activation memory
                 # ~1/n_model at high resolution. The raw canvases stay
-                # data-sharded; only the fixed-size crop tensors reshard
-                # (parallel/spatial.py::jit_spatial_step is the raw-tensor
-                # equivalent, proven equal to data-parallel in
-                # tests/test_spatial.py).
-                from jax.sharding import NamedSharding, PartitionSpec
-                sp = NamedSharding(mesh, PartitionSpec("data", "model"))
+                # data-sharded; only the fixed-size crop tensors reshard.
+                # Leaf classification shares parallel/spatial.py's rule
+                # (jit_spatial_step is the raw-tensor equivalent, proven
+                # equal to data-parallel in tests/test_spatial.py).
+                from jax.sharding import NamedSharding
+
+                from cutmix_seg_tpu.parallel.spatial import (
+                    _spatial_batch_spec,
+                )
                 batch = {
-                    k: (jax.lax.with_sharding_constraint(v, sp)
-                        if (hasattr(v, "ndim") and v.ndim >= 3
-                            and v.shape[1] % spatial_n == 0
-                            and v.shape[1] >= 8) else v)
+                    k: jax.lax.with_sharding_constraint(
+                        v, NamedSharding(mesh, _spatial_batch_spec(mesh, v)))
                     for k, v in batch.items()}
             new_state, metrics = algo_step(state, batch, scalars["ramp"])
             # metrics accumulate ON DEVICE inside the same program: the epoch
@@ -332,10 +333,17 @@ class TrainEngine:
             return
         try:
             self._run_epochs()
-        finally:
-            # join the async checkpoint writer on every exit path (normal
-            # end, NaN bail, exception) so no save is lost or half-written
-            ckpt.wait_pending_saves()
+        except BaseException:
+            # join the writer but never let a checkpoint-IO error mask the
+            # actual training failure
+            try:
+                ckpt.wait_pending_saves(self.ctx.checkpoint_dir)
+            except Exception as e:
+                print(f"WARNING: async checkpoint write also failed: {e}")
+            raise
+        else:
+            # normal end / NaN bail: join so no save is lost or half-written
+            ckpt.wait_pending_saves(self.ctx.checkpoint_dir)
 
     def _run_epochs(self):
         p = self.p

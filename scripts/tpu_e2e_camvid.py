@@ -23,6 +23,9 @@ import numpy as np
 from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _e2e_common import base_params  # noqa: E402
 
 # 6 of the 11 CamVid classes with nearly-overlapping colours (class identity
 # needs shape+texture) + void regions exercising the 11->255 remap
@@ -113,29 +116,13 @@ def main():
 
     sources.CamVidDataSource.__init__ = patched
 
-    p = dict(
-        dataset="camvid", model="mean_teacher", arch=args.arch,
-        freeze_bn=True, opt_type="adam", sgd_momentum=0.9, sgd_nesterov=False,
-        sgd_weight_decay=5e-4, learning_rate=args.lr, lr_sched="none",
-        lr_step_epochs="", lr_step_gamma=0.1, lr_poly_power=0.9,
-        teacher_alpha=0.99, bin_fill_holes=False, crop_size=args.crop_size,
-        aug_hflip=True, aug_vflip=False, aug_hvflip=False,
-        aug_scale_hung=False, aug_max_scale=1.0, aug_scale_non_uniform=False,
-        aug_rot_mag=0.0, aug_strong_colour=True, aug_colour_brightness=0.4,
-        aug_colour_contrast=0.4, aug_colour_saturation=0.4,
-        aug_colour_hue=0.1, aug_colour_prob=0.8,
-        aug_colour_greyscale_prob=0.2, mask_mode="mix", mask_prop_range="0.5",
-        boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
-        boxmask_by_size=False, boxmask_outside_bounds=False,
-        boxmask_no_invert=False, cons_loss_fn="var",
-        cons_weight=args.cons_weight, conf_thresh=args.conf_thresh,
-        conf_per_pixel=False, rampup=args.rampup, unsup_batch_ratio=1,
+    p = base_params(
+        dataset="camvid", arch=args.arch, learning_rate=args.lr,
+        crop_size=args.crop_size, cons_weight=args.cons_weight,
+        conf_thresh=args.conf_thresh, rampup=args.rampup,
         num_epochs=args.epochs, iters_per_epoch=args.iters,
-        batch_size=args.batch_size, n_sup=args.n_sup, n_unsup=-1, n_val=-1,
-        split_seed=12345, split_path=None, val_seed=131, save_preds=False,
-        save_model=False, num_workers=4, compute_dtype="bfloat16",
-        n_devices=-1, resume=False, nan_check_interval=100, seed=0,
-        no_pretrained=True, checkpoint_interval=args.checkpoint_interval,
+        batch_size=args.batch_size, n_sup=args.n_sup,
+        checkpoint_interval=args.checkpoint_interval,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
     job.submit("tpu_e2e_camvid", args.job_desc, fn, p,

@@ -24,6 +24,9 @@ import numpy as np
 from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _e2e_common import base_params  # noqa: E402
 
 
 def _png(arr):
@@ -137,30 +140,15 @@ def main():
 
     # the paper ISIC recipe (run_isic2017_experiments.sh:14-15,22) with
     # no_pretrained for the synthetic task
-    p = dict(
-        dataset="isic2017", model="mean_teacher", arch=args.arch,
-        freeze_bn=False, opt_type="sgd", sgd_momentum=0.9, sgd_nesterov=False,
-        sgd_weight_decay=5e-4, learning_rate=args.lr, lr_sched="poly",
-        lr_step_epochs="", lr_step_gamma=0.1, lr_poly_power=0.9,
-        teacher_alpha=0.99, bin_fill_holes=True, crop_size="224,224",
-        aug_hflip=True, aug_vflip=True, aug_hvflip=True,
-        aug_scale_hung=False, aug_max_scale=1.1, aug_scale_non_uniform=False,
-        aug_rot_mag=45.0, aug_strong_colour=True, aug_colour_brightness=0.4,
-        aug_colour_contrast=0.4, aug_colour_saturation=0.4,
-        aug_colour_hue=0.1, aug_colour_prob=0.8,
-        aug_colour_greyscale_prob=0.2, mask_mode="mix", mask_prop_range="0.5",
-        boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
-        boxmask_by_size=False, boxmask_outside_bounds=False,
-        boxmask_no_invert=False, cons_loss_fn="var",
+    p = base_params(
+        dataset="isic2017", arch=args.arch, freeze_bn=False, opt_type="sgd",
+        learning_rate=args.lr, lr_sched="poly", bin_fill_holes=True,
+        crop_size="224,224", aug_vflip=True, aug_hvflip=True,
+        aug_max_scale=1.1, aug_rot_mag=45.0,
         cons_weight=args.cons_weight, conf_thresh=args.conf_thresh,
-        conf_per_pixel=False, rampup=args.rampup, unsup_batch_ratio=1,
-        num_epochs=args.epochs, iters_per_epoch=args.iters,
-        batch_size=args.batch_size, n_sup=args.n_sup, n_unsup=-1, n_val=-1,
-        split_seed=12345, split_path=None, val_seed=131, save_preds=False,
-        save_model=False, num_workers=4, compute_dtype="bfloat16",
-        n_devices=-1, resume=False, nan_check_interval=100, seed=0,
-        checkpoint_interval=args.checkpoint_interval,
-        no_pretrained=True,
+        rampup=args.rampup, num_epochs=args.epochs,
+        iters_per_epoch=args.iters, batch_size=args.batch_size,
+        n_sup=args.n_sup, checkpoint_interval=args.checkpoint_interval,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
     job.submit("tpu_e2e_isic", args.job_desc, fn, p,

@@ -25,6 +25,9 @@ import numpy as np
 from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _e2e_common import base_params  # noqa: E402
 
 # nearly-overlapping region colours: class identity needs shape+texture
 _CLASSES = [(0, (110, 112, 108)), (5, (125, 108, 118)), (9, (104, 124, 116)),
@@ -130,29 +133,14 @@ def main():
     # the paper headline recipe (run_pascal_aug_experiments.sh:14-31) with
     # no_pretrained for the synthetic task; dataset='pascal' (plain label
     # dir; the synthetic tree has no SBD aug labels)
-    p = dict(
-        dataset="pascal", model="mean_teacher", arch=args.arch,
-        freeze_bn=True, opt_type="adam", sgd_momentum=0.9, sgd_nesterov=False,
-        sgd_weight_decay=5e-4, learning_rate=args.lr, lr_sched="none",
-        lr_step_epochs="", lr_step_gamma=0.1, lr_poly_power=0.9,
-        teacher_alpha=0.99, bin_fill_holes=False, crop_size="321,321",
-        aug_hflip=True, aug_vflip=False, aug_hvflip=False,
-        aug_scale_hung=True, aug_max_scale=1.0, aug_scale_non_uniform=False,
-        aug_rot_mag=0.0, aug_strong_colour=True, aug_colour_brightness=0.4,
-        aug_colour_contrast=0.4, aug_colour_saturation=0.4,
-        aug_colour_hue=0.1, aug_colour_prob=0.8,
-        aug_colour_greyscale_prob=0.2, mask_mode="mix", mask_prop_range="0.5",
-        boxmask_n_boxes=1, boxmask_fixed_aspect_ratio=False,
-        boxmask_by_size=False, boxmask_outside_bounds=False,
-        boxmask_no_invert=False, cons_loss_fn="var",
+    p = base_params(
+        dataset="pascal", arch=args.arch, learning_rate=args.lr,
+        crop_size="321,321", aug_scale_hung=True,
         cons_weight=args.cons_weight, conf_thresh=args.conf_thresh,
-        conf_per_pixel=False, rampup=args.rampup, unsup_batch_ratio=1,
-        num_epochs=args.epochs, iters_per_epoch=args.iters,
-        batch_size=args.batch_size, n_sup=args.n_sup, n_unsup=-1, n_val=-1,
-        split_seed=12345, split_path=None, val_seed=131, save_preds=False,
-        save_model=False, num_workers=4, compute_dtype="bfloat16",
-        n_devices=-1, resume=args.resume, nan_check_interval=100, seed=0,
-        no_pretrained=True, checkpoint_interval=args.checkpoint_interval,
+        rampup=args.rampup, num_epochs=args.epochs,
+        iters_per_epoch=args.iters, batch_size=args.batch_size,
+        n_sup=args.n_sup, resume=args.resume,
+        checkpoint_interval=args.checkpoint_interval,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
     job.submit("tpu_e2e_voc", args.job_desc, fn, p,

@@ -46,13 +46,26 @@ def test_checkpoint_async_roundtrip_and_error(tmp_path):
     a = open(ckpt.latest_checkpoint(d), "rb").read()
     assert a == open(sync_path, "rb").read()
 
-    # a failing write surfaces on the next wait (and leaves no live thread)
+    # an error raised INSIDE the background writer thread (serialisation of
+    # an unserialisable leaf) must surface on the next wait, not vanish
+    d_err = str(tmp_path / "ckpts_err")
+    ckpt.save_checkpoint_async(d_err, {"w": object()}, step=9)
+    with pytest.raises(Exception):
+        ckpt.wait_pending_saves(d_err)
+    ckpt.wait_pending_saves()  # idempotent after the error drained
+
+    # and a synchronous failure (checkpoint dir path is a file) raises on
+    # the caller thread directly
     blocker = str(tmp_path / "not_a_dir")
     open(blocker, "w").write("file, not dir")
     with pytest.raises(OSError):
         ckpt.save_checkpoint_async(blocker, state, step=9)
-        ckpt.wait_pending_saves()
-    ckpt.wait_pending_saves()  # idempotent after the error drained
+
+    # per-directory isolation: a healthy writer in another dir is unaffected
+    d_ok = str(tmp_path / "ckpts_ok")
+    ckpt.save_checkpoint_async(d_ok, state, step=1)
+    ckpt.wait_pending_saves(d_ok)
+    assert ckpt.latest_checkpoint(d_ok)
 
 
 def test_export_params(tmp_path):

@@ -102,3 +102,67 @@ def test_camvid_zip_generator_is_source_valid(tmp_path):
     # void band (raw value 11) must arrive remapped to 255
     assert 255 in np.unique(lab) and lab.max() == 255
     assert set(np.unique(lab)) - {255} <= set(range(11))
+
+
+def test_base_params_matches_pre_refactor_golden():
+    """scripts/_e2e_common.base_params + each driver's overrides must
+    reproduce the exact inline dicts the four scripts shipped before the
+    refactor (any drift in the shared skeleton silently changes a committed
+    evidence recipe)."""
+    scripts_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from _e2e_common import base_params
+    finally:
+        sys.path.remove(scripts_dir)
+
+    common = dict(
+        model="mean_teacher", freeze_bn=True, opt_type="adam",
+        sgd_momentum=0.9, sgd_nesterov=False, sgd_weight_decay=5e-4,
+        lr_sched="none", lr_step_epochs="", lr_step_gamma=0.1,
+        lr_poly_power=0.9, teacher_alpha=0.99, bin_fill_holes=False,
+        aug_hflip=True, aug_vflip=False, aug_hvflip=False,
+        aug_scale_hung=False, aug_max_scale=1.0,
+        aug_scale_non_uniform=False, aug_rot_mag=0.0,
+        aug_strong_colour=True, aug_colour_brightness=0.4,
+        aug_colour_contrast=0.4, aug_colour_saturation=0.4,
+        aug_colour_hue=0.1, aug_colour_prob=0.8,
+        aug_colour_greyscale_prob=0.2, mask_mode="mix",
+        mask_prop_range="0.5", boxmask_n_boxes=1,
+        boxmask_fixed_aspect_ratio=False, boxmask_by_size=False,
+        boxmask_outside_bounds=False, boxmask_no_invert=False,
+        cons_loss_fn="var", conf_per_pixel=False, unsup_batch_ratio=1,
+        n_unsup=-1, n_val=-1, split_seed=12345, split_path=None,
+        val_seed=131, save_preds=False, save_model=False, num_workers=4,
+        compute_dtype="bfloat16", n_devices=-1, resume=False,
+        nan_check_interval=100, seed=0, no_pretrained=True,
+    )
+    run = dict(cons_weight=1.0, conf_thresh=0.97, rampup=-1, num_epochs=3,
+               iters_per_epoch=50, batch_size=4, n_sup=8,
+               checkpoint_interval=10, learning_rate=3e-5, arch="a")
+
+    golden_city = dict(common, dataset="cityscapes", crop_size="256,512",
+                       **run)
+    assert base_params(dataset="cityscapes", crop_size="256,512",
+                       **run) == golden_city
+
+    golden_voc = dict(common, dataset="pascal", crop_size="321,321",
+                      aug_scale_hung=True, **run)
+    assert base_params(dataset="pascal", crop_size="321,321",
+                       aug_scale_hung=True, **run) == golden_voc
+
+    golden_isic = dict(common, dataset="isic2017", freeze_bn=False,
+                       opt_type="sgd", lr_sched="poly", bin_fill_holes=True,
+                       crop_size="224,224", aug_vflip=True, aug_hvflip=True,
+                       aug_max_scale=1.1, aug_rot_mag=45.0, **run)
+    assert base_params(dataset="isic2017", freeze_bn=False, opt_type="sgd",
+                       lr_sched="poly", bin_fill_holes=True,
+                       crop_size="224,224", aug_vflip=True, aug_hvflip=True,
+                       aug_max_scale=1.1, aug_rot_mag=45.0,
+                       **run) == golden_isic
+
+    golden_camvid = dict(common, dataset="camvid", crop_size="224,320",
+                         **run)
+    assert base_params(dataset="camvid", crop_size="224,320",
+                       **run) == golden_camvid
