@@ -78,7 +78,10 @@ def _setup(mode="mix", mean_teacher=True, cons_weight=1.0, conf_thresh=0.97):
         mean_teacher=mean_teacher,
         teacher_alpha=0.99,
     )
-    step = make_mask_mt_step(model, tx, cfg)
+    # jit the step: eager (op-by-op) execution of the full train step costs
+    # tens of seconds per test on this host, while the jitted program is
+    # persistent-cache warm across runs
+    step = jax.jit(make_mask_mt_step(model, tx, cfg))
     return model, state, step
 
 
@@ -614,11 +617,12 @@ def test_grad_accum_training_bn_sequential_stats():
     s2, metrics = jax.jit(step)(state, batch, jnp.float32(1.0))
     assert _np.isfinite(float(metrics["sup_loss"]))
 
+    japply = jax.jit(
+        lambda p, st, x: apply_model(model, p, st, x, train=True,
+                                     freeze_bn=False))
     expect = state.student.batch_stats
     for k in range(2):
-        _, expect = apply_model(
-            model, state.student.params, expect,
-            batch["sup_x"][k::2], train=True, freeze_bn=False)
+        _, expect = japply(state.student.params, expect, batch["sup_x"][k::2])
     for a, b in zip(jax.tree_util.tree_leaves(s2.student.batch_stats),
                     jax.tree_util.tree_leaves(expect)):
         _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
