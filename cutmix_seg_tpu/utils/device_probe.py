@@ -13,12 +13,19 @@ import subprocess
 import sys
 
 
-def probe_device_count(timeout_s: int = 240) -> int:
+_PROBE_CODE = "import jax; print(len(jax.devices()))"
+
+
+def probe_device_count(timeout_s: int = 240, code: str = _PROBE_CODE) -> int:
     """Number of devices the default backend initialises to, or 0 when
-    initialisation fails or exceeds ``timeout_s`` (tunnel down)."""
+    initialisation fails or exceeds ``timeout_s`` (tunnel down).
+
+    ``code`` is the probe program run in the subprocess; tests inject
+    stand-ins because the real probe's duration is the backend's to decide.
+    """
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            [sys.executable, "-c", code],
             timeout=timeout_s, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True)
         if proc.returncode != 0:

@@ -163,3 +163,22 @@ def test_settings_ini_and_dnnlib_template(monkeypatch, tmp_path):
 
     with pytest.raises(RuntimeError):
         settings.get_data_path("pascal_voc", dnnlib_template="<DATA>/voc")
+
+
+def test_device_probe_paths():
+    """probe_device_count must map every failure mode to 0 (the callers'
+    fall-back signal) and parse a healthy probe's count; the probe program
+    is injected because the real one's duration is the backend's to decide
+    (bench.py / __graft_entry__ use it to survive TPU-tunnel outages)."""
+    from cutmix_seg_tpu.utils.device_probe import probe_device_count
+
+    assert probe_device_count(code="print(3)") == 3
+    assert probe_device_count(code="raise SystemExit(1)") == 0  # init crash
+    assert probe_device_count(code="print('garbage')") == 0     # bad stdout
+    assert probe_device_count(code="print()") == 0              # empty stdout
+    # tunnel hang: exceeds the timeout -> 0, promptly
+    import time
+    t0 = time.time()
+    assert probe_device_count(
+        timeout_s=1, code="import time; time.sleep(30)") == 0
+    assert time.time() - t0 < 10
