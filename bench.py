@@ -37,13 +37,14 @@ ITERS = 30
 
 
 def main():
-    from cutmix_seg_tpu.utils.device_probe import probe_device_count
+    from cutmix_seg_tpu.utils.device_probe import probe_devices
 
     # fail fast when the TPU tunnel is dead instead of hanging on
     # jax.devices() (observed: multi-hour outages)
-    if probe_device_count() < 1:
-        note("bench: device backend unreachable (TPU tunnel down?) — "
-             "aborting instead of hanging")
+    n_dev, diag = probe_devices()
+    if n_dev < 1:
+        note("bench: device backend unreachable (TPU tunnel down, or "
+             f"another process holds the chip?) — aborting: {diag}")
         sys.exit(3)
     import jax
     import jax.numpy as jnp

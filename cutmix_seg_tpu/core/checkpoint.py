@@ -91,7 +91,11 @@ def wait_pending_saves(ckpt_dir: Optional[str] = None) -> None:
     for key, (t, box) in items:
         t.join()
         with _writers_lock:
-            _writers.pop(key, None)
+            # pop only OUR slot: another thread may have re-registered a
+            # fresh writer for this directory while we were joining — an
+            # unconditional pop would orphan it (lost save, lost error)
+            if _writers.get(key) == (t, box):
+                del _writers[key]
         if box and first_error is None:
             first_error = box[0]
     if first_error is not None:

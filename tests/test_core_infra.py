@@ -170,15 +170,32 @@ def test_device_probe_paths():
     fall-back signal) and parse a healthy probe's count; the probe program
     is injected because the real one's duration is the backend's to decide
     (bench.py / __graft_entry__ use it to survive TPU-tunnel outages)."""
-    from cutmix_seg_tpu.utils.device_probe import probe_device_count
+    from cutmix_seg_tpu.utils.device_probe import (
+        probe_device_count,
+        probe_devices,
+    )
 
     assert probe_device_count(code="print(3)") == 3
+    # import-time banners before the count must not break the parse
+    assert probe_device_count(code="print('plugin banner'); print(4)") == 4
     assert probe_device_count(code="raise SystemExit(1)") == 0  # init crash
     assert probe_device_count(code="print('garbage')") == 0     # bad stdout
     assert probe_device_count(code="print()") == 0              # empty stdout
+    # the failure diagnostic carries the probe's last stderr line (libtpu
+    # 'device in use' vs tunnel timeout are different operator actions)
+    n, diag = probe_devices(
+        code="import sys; print('chip held', file=sys.stderr); "
+             "raise SystemExit(1)")
+    assert n == 0 and "chip held" in diag
     # tunnel hang: exceeds the timeout -> 0, promptly
     import time
     t0 = time.time()
-    assert probe_device_count(
-        timeout_s=1, code="import time; time.sleep(30)") == 0
+    n, diag = probe_devices(timeout_s=1, code="import time; time.sleep(30)")
+    assert n == 0 and "tunnel" in diag
     assert time.time() - t0 < 10
+    # this test process initialised its (8-virtual-CPU) backend long ago:
+    # the default probe must answer from it without a subprocess — a
+    # subprocess could not acquire a single-client TPU the parent holds
+    t0 = time.time()
+    assert probe_device_count() == 8
+    assert time.time() - t0 < 2
