@@ -57,6 +57,11 @@ def submit(job_name: str, job_desc: str, fn, params: dict,
     run_dir = os.path.join(results_root, job_name, desc)
     log_path = os.path.join(run_dir, f"log_{desc}.txt")
 
+    # --resume must target the SAME run dir (that is where the checkpoints
+    # live), so an explicit resume overrides the already-run dedup; the log
+    # tee appends, preserving the earlier epochs' output
+    if params.get("resume"):
+        skip_if_log_exists = False
     if skip_if_log_exists and os.path.exists(log_path):
         print(f"Job {job_name}/{desc} already run (log exists at {log_path}); skipping.")
         return None

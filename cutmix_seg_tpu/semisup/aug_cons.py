@@ -47,22 +47,8 @@ def _aug_per_px(cfg, logits_stu, logits_tea_in_stu, prob_tea_in_stu):
     """The aug_mt consistency-loss menu: targets are the WARPED teacher
     quantities — probs for prob-space losses, logits for logit-space losses.
     Shared by the K=1 and grad-accum steps."""
-    lf = cfg.cons_loss_fn
-    if lf == "var":
-        d = jax.nn.softmax(logits_stu, axis=-1) - prob_tea_in_stu
-        return (d * d).sum(axis=-1, keepdims=True)
-    if lf in ("logits_var", "logits_smoothl1"):
-        return L.consistency_loss_per_pixel(lf, logits_stu, logits_tea_in_stu)
-    if lf == "bce":
-        return L.robust_binary_crossentropy(
-            jax.nn.softmax(logits_stu, axis=-1), prob_tea_in_stu
-        ).sum(axis=-1, keepdims=True)
-    if lf == "kld":
-        logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
-        safe = jnp.maximum(prob_tea_in_stu, 1e-20)
-        return (prob_tea_in_stu * (jnp.log(safe) - logp_stu)).sum(
-            axis=-1, keepdims=True)
-    raise ValueError(f"unknown consistency loss {lf!r}")
+    return L.consistency_from_prob_targets(
+        cfg.cons_loss_fn, logits_stu, logits_tea_in_stu, prob_tea_in_stu)
 
 
 def make_aug_cons_step(model, tx, cfg: AugConsConfig):

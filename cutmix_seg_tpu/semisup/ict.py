@@ -41,22 +41,8 @@ def _ict_per_px(cfg, logits_stu, logits_tea_mix, prob_tea_mix):
     """The ICT consistency-loss menu: prob-space targets are the BLENDED
     probs; logit-space targets the blended logits (reference:
     ict.py:360-378). Shared by the K=1 and grad-accum steps."""
-    lf = cfg.cons_loss_fn
-    if lf == "var":
-        d = jax.nn.softmax(logits_stu, axis=-1) - prob_tea_mix
-        return (d * d).sum(axis=-1, keepdims=True)
-    if lf in ("logits_var", "logits_smoothl1"):
-        return L.consistency_loss_per_pixel(lf, logits_stu, logits_tea_mix)
-    if lf == "bce":
-        return L.robust_binary_crossentropy(
-            jax.nn.softmax(logits_stu, axis=-1), prob_tea_mix
-        ).sum(axis=-1, keepdims=True)
-    if lf == "kld":
-        logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
-        safe_p = jnp.maximum(prob_tea_mix, 1e-20)
-        return (prob_tea_mix * (jnp.log(safe_p) - logp_stu)).sum(
-            axis=-1, keepdims=True)
-    raise ValueError(f"unknown consistency loss {lf!r}")
+    return L.consistency_from_prob_targets(
+        cfg.cons_loss_fn, logits_stu, logits_tea_mix, prob_tea_mix)
 
 
 def make_ict_step(model, tx, cfg: ICTConfig):

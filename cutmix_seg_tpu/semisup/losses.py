@@ -82,6 +82,38 @@ def consistency_loss_per_pixel(
     raise ValueError(f"unknown consistency loss {loss_fn!r}")
 
 
+def consistency_from_prob_targets(
+    loss_fn: str,
+    logits_stu: jnp.ndarray,
+    logits_tea: jnp.ndarray,
+    prob_tea: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-pixel consistency loss against PRE-COMPUTED teacher prob targets.
+
+    For algorithms whose teacher target is not softmax(logits_tea) — ICT
+    blends probs across the mixup pair (reference: ict.py:360-378), aug_mt
+    warps teacher probs into student space — prob-space losses (var/bce/kld)
+    take ``prob_tea`` as the target while logit-space losses
+    (logits_var/logits_smoothl1) use ``logits_tea``. Shared by the ICT and
+    aug_mt K=1 and grad-accum steps.
+    """
+    if loss_fn == "var":
+        d = jax.nn.softmax(logits_stu, axis=-1) - prob_tea
+        return (d * d).sum(axis=-1, keepdims=True)
+    if loss_fn in ("logits_var", "logits_smoothl1"):
+        return consistency_loss_per_pixel(loss_fn, logits_stu, logits_tea)
+    if loss_fn == "bce":
+        return robust_binary_crossentropy(
+            jax.nn.softmax(logits_stu, axis=-1), prob_tea
+        ).sum(axis=-1, keepdims=True)
+    if loss_fn == "kld":
+        logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
+        safe_p = jnp.maximum(prob_tea, 1e-20)
+        return (prob_tea * (jnp.log(safe_p) - logp_stu)).sum(
+            axis=-1, keepdims=True)
+    raise ValueError(f"unknown consistency loss {loss_fn!r}")
+
+
 def confidence_mask(
     prob_tea: jnp.ndarray, conf_thresh: float, per_pixel: bool
 ):

@@ -136,6 +136,13 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
     if cfg.grad_accum > 1:
         from cutmix_seg_tpu.semisup.stepcore import validate_accum
 
+        # the accum chunk losses are not wired for the loss-chain HBM
+        # options; rejecting beats parse-and-ignore (the combination is
+        # also redundant: accum already bounds peak activation memory)
+        if cfg.cons_compute_dtype != "float32" or cfg.remat_loss_chain:
+            raise ValueError(
+                "cons_compute_dtype='bfloat16' / remat_loss_chain are not "
+                "supported with grad_accum > 1")
         validate_accum(cfg, "mask_mt")
         return _make_accum_step(model, tx, cfg, mesh)
 

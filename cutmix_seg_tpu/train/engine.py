@@ -306,10 +306,10 @@ class TrainEngine:
         Pre-placed replicated on the mesh: like the train state, a host-side
         zero would make the first call's avals mesh-untagged and trigger a
         silent second trace+compile of the whole fused program."""
-        z = {"sup_loss": jnp.float32(0.0)}
-        if self.use_cons:
-            z.update(cons_loss=jnp.float32(0.0), conf_rate=jnp.float32(0.0))
-        return jax.device_put(z, replicated(self.mesh))
+        from cutmix_seg_tpu.semisup.stepcore import accum_zero_metrics
+
+        return jax.device_put(accum_zero_metrics(self.use_cons),
+                              replicated(self.mesh))
 
     def next_key(self):
         self.colour_key, k = jax.random.split(self.colour_key)

@@ -47,6 +47,17 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
     )
 
     enable_persistent_compilation_cache()
+    # the seed axis is vmapped through one program: features that change the
+    # per-seed program structure are not wired through — reject them loudly
+    # rather than parse-and-ignore
+    for flag in ("grad_accum", "spatial_train"):
+        if int(p.get(flag, 1) or 1) > 1:
+            raise ValueError(
+                f"--{flag} is not supported by the multi-seed trainer; run "
+                "the single-seed CLI per seed instead")
+    if p.get("resume"):
+        raise ValueError("--resume is not supported by the multi-seed "
+                         "trainer (stacked state has no resume path yet)")
     seeds = [int(s.strip()) for s in p["parallel_split_seeds"].split(",")]
     K = len(seeds)
     crop_hw = common.parse_crop_size(p["crop_size"])
@@ -205,11 +216,15 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
     # the paper-table aggregate: mean +/- std over the split seeds
     # (reference README.md reports 5-seed mean/stddev rows)
     arr = np.asarray(epoch_mious)
-    print("SEEDS AGGREGATE ({}): VAL mIoU mean={:.3%} std={:.3%} n={}".format(
-        ",".join(str(s) for s in seeds), arr.mean(), arr.std(ddof=1), K))
-    ctx.log_metrics({"final_seed_mious": epoch_mious,
-                     "final_miou_mean": float(arr.mean()),
-                     "final_miou_std": float(arr.std(ddof=1))})
+    if arr.size:
+        # sample std needs n>1; a single seed reports 0 (not NaN — bare NaN
+        # in the metrics JSONL breaks strict JSON parsers)
+        std = float(arr.std(ddof=1)) if arr.size > 1 else 0.0
+        print("SEEDS AGGREGATE ({}): VAL mIoU mean={:.3%} std={:.3%} n={}"
+              .format(",".join(str(s) for s in seeds), arr.mean(), std, K))
+        ctx.log_metrics({"final_seed_mious": epoch_mious,
+                         "final_miou_mean": float(arr.mean()),
+                         "final_miou_std": std})
 
     for s in sup_streams + u0_streams + u1_streams:
         s.close()

@@ -72,3 +72,20 @@ def test_vat_mt_cli_covers_reference_flags():
 def test_aug_mt_cli_covers_reference_flags():
     from cutmix_seg_tpu.train.aug_mt import experiment
     _assert_superset(experiment, _AUG_MT, "aug_mt")
+
+
+# reference toy2d_train.py:460-520; '--device' (the torch cuda selector) is
+# intentionally not carried — backend selection is JAX-level here
+_TOY2D = """
+balance_classes batch_size conf_avg conf_thresh cons_loss_fn
+cons_no_dropout cons_weight dataset device dist_contour_range hidden_act
+hidden_size img_noise_std job_desc learning_rate model n_hidden n_sup
+norm_layer num_epochs perturb_noise_std region_erode_radius
+render_cons_grad render_pred save_output seed sup_path teacher_alpha
+""".split()
+
+
+def test_toy2d_cli_covers_reference_flags():
+    from cutmix_seg_tpu.toy2d.train import experiment
+    _assert_superset(experiment, [f for f in _TOY2D if f != "device"],
+                     "toy2d")

@@ -93,6 +93,18 @@ def test_job_runner_log_and_metrics(tmp_path):
     assert job.submit("jobname", "desc1", fn, {"x": 1},
                       results_root=str(tmp_path)) is None
 
+    # an explicit resume targets the SAME run dir (the checkpoints live
+    # there), so it must override the already-run dedup and append the log
+    def fn_resume(ctx, x, resume):
+        print("resumed pass")
+        return x
+
+    assert job.submit("jobname", "desc1", fn_resume,
+                      {"x": 7, "resume": True},
+                      results_root=str(tmp_path)) == 7
+    log = (run_dir / "log_desc1.txt").read_text()
+    assert "hello from job" in log and "resumed pass" in log
+
 
 def test_colour_jitter_identity_when_zero_ranges():
     from cutmix_seg_tpu.ops.colour import ColourJitterConfig, colour_jitter

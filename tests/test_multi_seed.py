@@ -88,3 +88,18 @@ def test_multi_seed_multiple_steps_progress():
     losses = np.stack(losses)
     assert (losses[-1] < losses[0]).all()  # every seed learns its batch
     assert int(np.asarray(unstack_state(mstate, 0).step)) == 4
+
+
+def test_multiseed_trainer_rejects_unwired_flags():
+    """The multi-seed CLI shares common_options, so it parses grad_accum /
+    spatial_train / resume — none of which are wired through the vmapped
+    program; they must be rejected loudly, not parsed-and-ignored."""
+    from cutmix_seg_tpu.core.job import RunContext
+    from cutmix_seg_tpu.train.multi_seed_mask_mt import (
+        train_seg_semisup_mask_mt_multiseed,
+    )
+
+    ctx = RunContext("/tmp/unused_mseed_guard", "guard")
+    for bad in ({"grad_accum": 2}, {"spatial_train": 2}, {"resume": True}):
+        with pytest.raises(ValueError, match="not supported"):
+            train_seg_semisup_mask_mt_multiseed(ctx, **bad)

@@ -461,6 +461,14 @@ def test_grad_accum_guards_and_warning():
     with pytest.raises(ValueError, match="unknown mask_mode"):
         step(state, make_batch(rng, b=4, hw=(17, 17), mode="mix"), ramp)
 
+    # the loss-chain HBM options are not wired through the accum chunk
+    # losses: the combination must be rejected, not parsed-and-ignored
+    for extra in ({"remat_loss_chain": True},
+                  {"cons_compute_dtype": "bfloat16"}):
+        with pytest.raises(ValueError, match="not supported with grad_accum"):
+            make_mask_mt_step(model, tx, MaskConsistencyConfig(
+                mask_mode="mix", conf_thresh=0.0, **common, **extra))
+
     step = make_mask_mt_step(model, tx, MaskConsistencyConfig(
         mask_mode="mix", conf_thresh=0.0, **common))
     batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
