@@ -138,6 +138,12 @@ def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
         cfg = MaskConsistencyConfig(
             mask_mode="mix", box=BoxMaskConfig((0.5, 0.5)), **common)
         make_step = make_mask_mt_step
+    elif algorithm == "cutout":
+        # the paper's Cutout row: masked-erase consistency, box proportion
+        # drawn from 0.0:1.0 (reference: run_pascal_aug_experiments.sh:20)
+        cfg = MaskConsistencyConfig(
+            mask_mode="zero", box=BoxMaskConfig((0.0, 1.0)), **common)
+        make_step = make_mask_mt_step
     elif algorithm == "ict":
         cfg = ICTConfig(ict_alpha=0.1, **common)
         make_step = make_ict_step
@@ -169,7 +175,7 @@ def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
                 ux0_stu=jnp.asarray(unsup_x[u0]), um0=jnp.asarray(ones),
                 ux1_tea=jnp.asarray(unsup_x[u1]),
                 ux1_stu=jnp.asarray(unsup_x[u1]), um1=jnp.asarray(ones))
-        elif algorithm == "vat_mt":
+        elif algorithm in ("vat_mt", "cutout"):
             bt.update(ux_tea=jnp.asarray(unsup_x[u0]),
                       ux_stu=jnp.asarray(unsup_x[u0]), um=jnp.asarray(ones))
         else:  # aug_mt
@@ -193,10 +199,11 @@ def run(iters=400, n_sup=8, n_unsup=256, n_val=64, batch=8, seed=0,
 @click.option("--n_sup", type=int, default=8)
 @click.option("--seed", type=int, default=0)
 @click.option("--algorithm", default="mask_mt",
-              type=click.Choice(["mask_mt", "ict", "vat_mt", "aug_mt", "all"]))
+              type=click.Choice(["mask_mt", "cutout", "ict", "vat_mt",
+                                 "aug_mt", "all"]))
 def main(iters, n_sup, seed, algorithm):
     t0 = time.time()
-    algos = (["mask_mt", "ict", "vat_mt", "aug_mt"]
+    algos = (["mask_mt", "cutout", "ict", "vat_mt", "aug_mt"]
              if algorithm == "all" else [algorithm])
     # ONE supervised baseline serves every algorithm: with cons_weight=0 the
     # step degenerates to supervised CE + EMA regardless of algorithm, and

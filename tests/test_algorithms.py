@@ -245,7 +245,7 @@ def test_synthetic_benchmark_all_algorithms_run():
     from cutmix_seg_tpu.tools.synthetic_benchmark import run
 
     mious = {}
-    for algo in ("mask_mt", "ict", "vat_mt", "aug_mt"):
+    for algo in ("mask_mt", "cutout", "ict", "vat_mt", "aug_mt"):
         miou, loss = run(iters=2, n_sup=4, n_unsup=8, n_val=8, batch=4,
                          algorithm=algo)
         assert np.isfinite(loss), algo
