@@ -266,20 +266,20 @@ class TrainEngine:
                 f"global batch {global_batch} not divisible by "
                 f"{n_proc} processes")
         host_batch = global_batch // n_proc
-        sup_builder = HostBatchBuilder(self.ds, self.geom, with_labels=True,
-                                       n_threads=p["num_workers"])
-        self.sup_stream = train_stream(sup_builder, self.sup_ndx, host_batch,
-                                       seed=seed + 10)
-        self.streams = []
         self.use_cons = self.algo_cfg.cons_weight > 0.0
-        if self.use_cons:
-            unsup_builder = HostBatchBuilder(
-                self.ds, self.geom, with_labels=False,
-                pair_geom=self.spec.pair_geom, n_threads=p["num_workers"])
-            ub = host_batch * p["unsup_batch_ratio"]
-            for si in range(self.spec.unsup_streams):
-                self.streams.append(train_stream(
-                    unsup_builder, self.unsup_ndx, ub, seed=seed + 20 + si * 10))
+        self._sup_builder = HostBatchBuilder(
+            self.ds, self.geom, with_labels=True, n_threads=p["num_workers"])
+        self._unsup_builder = (HostBatchBuilder(
+            self.ds, self.geom, with_labels=False,
+            pair_geom=self.spec.pair_geom, n_threads=p["num_workers"])
+            if self.use_cons else None)
+        self._host_batch = host_batch
+        self._stream_seed = seed
+        self._base_seed = base_seed
+        # streams are (re)opened per epoch with epoch-folded seeds — see
+        # _open_epoch_streams
+        self.sup_stream = None
+        self.streams = []
 
         print("Settings:")
         print(", ".join(f"{k}={self.p[k]}" for k in sorted(self.p)))
@@ -297,6 +297,40 @@ class TrainEngine:
         # metrics, exports) — every process still runs eval (collectives)
         self.is_lead = jax.process_index() == 0
         return True
+
+    def _open_epoch_streams(self, epoch_i: int):
+        """(Re)open the host input streams with epoch-folded seeds.
+
+        Host randomness — sample order, geometric/colour parameters — is a
+        pure function of (seed, process, epoch); together with the
+        checkpointed in-step PRNG (state.rng advances once per step), a
+        --resume from an epoch-boundary checkpoint therefore reproduces the
+        uninterrupted run BIT-EXACTLY, instead of replaying the epoch-0
+        stream order (tests/test_trainer_e2e.py::
+        test_resume_is_bit_exact_continuation).
+        """
+        self.close_streams()
+        ep = self._stream_seed + epoch_i * 100003
+        self.sup_stream = train_stream(
+            self._sup_builder, self.sup_ndx, self._host_batch, seed=ep + 10)
+        if self.use_cons:
+            ub = self._host_batch * self.p["unsup_batch_ratio"]
+            for si in range(self.spec.unsup_streams):
+                self.streams.append(train_stream(
+                    self._unsup_builder, self.unsup_ndx, ub,
+                    seed=ep + 20 + si * 10))
+        # replicated jit input: folded from the PROCESS-INDEPENDENT base so
+        # it stays bitwise identical on every host (GSPMD same-value rule)
+        self.colour_key = jax.random.fold_in(
+            jax.random.PRNGKey(self._base_seed + 40), epoch_i)
+
+    def close_streams(self):
+        if getattr(self, "sup_stream", None) is not None:
+            self.sup_stream.close()
+        for s in getattr(self, "streams", ()):
+            s.close()
+        self.sup_stream = None
+        self.streams = []
 
     # ---- batches ----
     def zero_metric_sums(self):
@@ -334,6 +368,7 @@ class TrainEngine:
         try:
             self._run_epochs()
         except BaseException:
+            self.close_streams()
             # join the writer but never let a checkpoint-IO error mask the
             # actual training failure
             try:
@@ -342,6 +377,7 @@ class TrainEngine:
                 print(f"WARNING: async checkpoint write also failed: {e}")
             raise
         else:
+            self.close_streams()
             # normal end / NaN bail: join so no save is lost or half-written
             ckpt.wait_pending_saves(self.ctx.checkpoint_dir)
 
@@ -350,6 +386,7 @@ class TrainEngine:
         print("Training...")
         for epoch_i in range(self.start_epoch, p["num_epochs"]):
             t1 = time.time()
+            self._open_epoch_streams(epoch_i)
             ramp_val = sigmoid_rampup(epoch_i, p["rampup"]) if p["rampup"] > 0 else 1.0
             ramp = jnp.float32(ramp_val)
 
@@ -496,9 +533,7 @@ class TrainEngine:
                 print("FINAL TEST: mIoU={:.3%}".format(test_iou.mean()))
                 print("-- TEST {}".format(", ".join(f"{x:.3%}" for x in test_iou)))
 
-        self.sup_stream.close()
-        for s in self.streams:
-            s.close()
+        self.close_streams()
 
 
 # ---- unsupervised batch composers ----

@@ -517,3 +517,50 @@ def test_spatial_train_rejects_indivisible_crop(tiny_zip, tmp_path,
                    _params(tiny_zip, n_devices=8, spatial_train=3,
                            crop_size="32,32"),
                    results_root=str(tmp_path / "results"))
+
+
+def test_resume_is_bit_exact_continuation(tiny_zip, tmp_path, monkeypatch):
+    """--resume from an epoch-boundary checkpoint must reproduce the
+    uninterrupted run bit-exactly: host randomness is a pure function of
+    (seed, process, epoch) (engine._open_epoch_streams) and the in-step
+    PRNG rides in the checkpointed state, so epochs 3-4 of a 2+resume run
+    equal epochs 3-4 of a straight 4-epoch run — same losses, same final
+    checkpoint bytes."""
+    import re
+
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    root = str(tmp_path / "results")
+
+    job.submit("test_bitexact", "full", train_seg_semisup_mask_mt,
+               _params(tiny_zip, num_epochs=4, checkpoint_interval=1,
+                       save_model=False), results_root=root)
+    job.submit("test_bitexact", "resumed", train_seg_semisup_mask_mt,
+               _params(tiny_zip, num_epochs=2, checkpoint_interval=1,
+                       save_model=False), results_root=root)
+    # same desc + resume=True: continues in the same run dir (dedup waived)
+    job.submit("test_bitexact", "resumed", train_seg_semisup_mask_mt,
+               _params(tiny_zip, num_epochs=4, checkpoint_interval=1,
+                       save_model=False, resume=True), results_root=root)
+
+    d_full = tmp_path / "results" / "test_bitexact" / "full"
+    d_res = tmp_path / "results" / "test_bitexact" / "resumed"
+    log_res = (d_res / "log_resumed.txt").read_text()
+    assert "Resumed from" in log_res
+
+    # the training-metric parts of the epoch lines must match exactly
+    def epoch_losses(text):
+        return re.findall(r"Epoch (\d+): took [^,]+, (TRAIN [^\n]*)", text)
+
+    full_lines = dict(epoch_losses((d_full / "log_full.txt").read_text()))
+    res_lines = dict(epoch_losses(log_res))
+    assert set(full_lines) == {"1", "2", "3", "4"}
+    for ep in ("3", "4"):
+        assert res_lines[ep] == full_lines[ep], (
+            f"epoch {ep}: resumed diverged\n{res_lines[ep]}\n{full_lines[ep]}")
+
+    # the final full-TrainState checkpoints are byte-identical
+    a = (d_full / "checkpoints" / "ckpt_000000012.msgpack").read_bytes()
+    b = (d_res / "checkpoints" / "ckpt_000000012.msgpack").read_bytes()
+    assert a == b
