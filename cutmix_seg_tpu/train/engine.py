@@ -365,6 +365,24 @@ class TrainEngine:
     def run(self):
         if not self.setup():
             return
+        # graceful preemption: preemptible TPU slots deliver SIGTERM with a
+        # grace window; stop at the next iteration boundary and point at the
+        # last epoch-boundary checkpoint (mid-epoch state is never saved —
+        # resume replays the whole epoch deterministically, see
+        # _open_epoch_streams)
+        import signal
+
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            print("SIGTERM received: stopping at the next iteration "
+                  "boundary; rerun with --resume", flush=True)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread: no preemption handling
+            prev_handler = None
         try:
             self._run_epochs()
         except BaseException:
@@ -378,8 +396,12 @@ class TrainEngine:
             raise
         else:
             self.close_streams()
-            # normal end / NaN bail: join so no save is lost or half-written
+            # normal end / NaN bail / preemption: join so no save is lost
+            # or half-written
             ckpt.wait_pending_saves(self.ctx.checkpoint_dir)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def _run_epochs(self):
         p = self.p
@@ -412,6 +434,12 @@ class TrainEngine:
                 scalars = {"ramp": ramp, "key": self.next_key(), "msum": msum}
                 self.state, msum = self.step(self.state, raw, scalars)
                 n_steps += 1
+                if getattr(self, "_preempted", False):
+                    print("PREEMPTED: stopped at epoch {}, iter {}; the "
+                          "latest epoch-boundary checkpoint resumes this "
+                          "run bit-exactly (--resume)".format(
+                              epoch_i + 1, it + 1), flush=True)
+                    return
                 if (it + 1) % p.get("nan_check_interval", 100) == 0:
                     # periodic host sync: a NaN in ANY step poisons the
                     # running sum, so checking the sum catches it
