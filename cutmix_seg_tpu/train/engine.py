@@ -292,7 +292,7 @@ class TrainEngine:
         if p["n_sup"] != -1:
             print(f"sup_ndx={self.sup_ndx.tolist()}")
 
-        self.colour_key = jax.random.PRNGKey(base_seed + 40)
+        # (the colour key is derived per epoch in _open_epoch_streams)
         # multi-host: only the lead process writes artifacts (checkpoints,
         # metrics, exports) — every process still runs eval (collectives)
         self.is_lead = jax.process_index() == 0
@@ -366,23 +366,28 @@ class TrainEngine:
         if not self.setup():
             return
         # graceful preemption: preemptible TPU slots deliver SIGTERM with a
-        # grace window; stop at the next iteration boundary and point at the
-        # last epoch-boundary checkpoint (mid-epoch state is never saved —
-        # resume replays the whole epoch deterministically, see
-        # _open_epoch_streams)
+        # grace window; stop before dispatching the next iteration and point
+        # at the last epoch-boundary checkpoint (mid-epoch state is never
+        # saved — resume replays the whole epoch deterministically, see
+        # _open_epoch_streams). Single-host only: per-process flags are
+        # uncoordinated, so on a DCN pod an asymmetric stop would wedge the
+        # other hosts in a collective — multi-host pods keep the default
+        # SIGTERM (immediate exit; resume from the last checkpoint is
+        # unchanged). The handler ONLY sets the flag: print/Tee inside a
+        # signal handler can hit CPython's BufferedWriter reentrancy guard.
         import signal
 
         self._preempted = False
 
         def _on_term(signum, frame):
             self._preempted = True
-            print("SIGTERM received: stopping at the next iteration "
-                  "boundary; rerun with --resume", flush=True)
 
-        try:
-            prev_handler = signal.signal(signal.SIGTERM, _on_term)
-        except ValueError:  # not the main thread: no preemption handling
-            prev_handler = None
+        prev_handler = None
+        if jax.process_count() == 1:
+            try:
+                prev_handler = signal.signal(signal.SIGTERM, _on_term)
+            except ValueError:  # not the main thread: no preemption handling
+                prev_handler = None
         try:
             self._run_epochs()
         except BaseException:
@@ -415,31 +420,35 @@ class TrainEngine:
             msum = self.zero_metric_sums()
             n_steps = 0
             profile_dir = p.get("profile_dir") if epoch_i == self.start_epoch else None
+            tracing = False
             for it in range(p["iters_per_epoch"]):
+                # preemption check BEFORE dispatch: a signal during the last
+                # step of an epoch lets the epoch finish (eval + checkpoint)
+                # and stops at the next epoch's first iteration instead of
+                # discarding completed work
+                if getattr(self, "_preempted", False):
+                    if tracing:
+                        jax.profiler.stop_trace()
+                    print("PREEMPTED: stopped at epoch {} before iter {}; "
+                          "the latest epoch-boundary checkpoint resumes "
+                          "this run bit-exactly (--resume)".format(
+                              epoch_i + 1, it + 1), flush=True)
+                    return
                 if profile_dir and it == 2:
-                    # trace a few steady-state steps of the first epoch
-                    from cutmix_seg_tpu.utils.profiling import trace
-
-                    with trace(profile_dir):
-                        for _ in range(3):
-                            raw = self.make_raw_batch()
-                            scalars = {"ramp": ramp, "key": self.next_key(),
-                                       "msum": msum}
-                            self.state, msum = self.step(
-                                self.state, raw, scalars)
-                            n_steps += 1
-                    profile_dir = None
-                    continue
+                    # trace 3 steady-state REGULAR iterations (extra steps
+                    # here would break the step-count-per-epoch invariant
+                    # that bit-exact resume and start_epoch derivation need)
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
                 raw = self.make_raw_batch()
                 scalars = {"ramp": ramp, "key": self.next_key(), "msum": msum}
                 self.state, msum = self.step(self.state, raw, scalars)
                 n_steps += 1
-                if getattr(self, "_preempted", False):
-                    print("PREEMPTED: stopped at epoch {}, iter {}; the "
-                          "latest epoch-boundary checkpoint resumes this "
-                          "run bit-exactly (--resume)".format(
-                              epoch_i + 1, it + 1), flush=True)
-                    return
+                if tracing and (it >= 4 or it == p["iters_per_epoch"] - 1):
+                    jax.block_until_ready(msum)  # flush device activity
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    profile_dir = None
                 if (it + 1) % p.get("nan_check_interval", 100) == 0:
                     # periodic host sync: a NaN in ANY step poisons the
                     # running sum, so checking the sum catches it

@@ -26,10 +26,10 @@ def _png_bytes(arr):
     return buf.getvalue()
 
 
-@pytest.fixture
-def tiny_zip(tmp_path):
+def build_tiny_zip(path) -> str:
+    """Synthetic Cityscapes-format zip (plain function: also used by the
+    standalone preemption child, tests/_preempt_child.py)."""
     rng = np.random.RandomState(0)
-    path = tmp_path / "cityscapes_segmentation.zip"
     with zipfile.ZipFile(path, "w") as zf:
         for split, n in (("train", 8), ("val", 2)):
             for i in range(n):
@@ -40,9 +40,7 @@ def tiny_zip(tmp_path):
     return str(path)
 
 
-@pytest.fixture(autouse=True)
-def tiny_arch():
-    name = "tiny_deeplab_test"
+def register_tiny_arch(name: str = "tiny_deeplab_test") -> str:
     if name not in registry.names():
         @registry.register(name)
         def factory(num_classes, dtype=None, pretrained=True):
@@ -56,6 +54,16 @@ def tiny_arch():
                 param_label=_param_label,
             )
     return name
+
+
+@pytest.fixture
+def tiny_zip(tmp_path):
+    return build_tiny_zip(tmp_path / "cityscapes_segmentation.zip")
+
+
+@pytest.fixture(autouse=True)
+def tiny_arch():
+    return register_tiny_arch()
 
 
 def _params(tiny_zip, **overrides):
@@ -564,3 +572,25 @@ def test_resume_is_bit_exact_continuation(tiny_zip, tmp_path, monkeypatch):
     a = (d_full / "checkpoints" / "ckpt_000000012.msgpack").read_bytes()
     b = (d_res / "checkpoints" / "ckpt_000000012.msgpack").read_bytes()
     assert a == b
+
+
+def test_profile_dir_traces_without_extra_steps(tiny_zip, tmp_path,
+                                                monkeypatch):
+    """--profile_dir wraps 3 REGULAR iterations in the profiler trace; it
+    must not add steps (extra steps would break the steps-per-epoch
+    invariant that start_epoch derivation and bit-exact resume rely on)."""
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    prof = tmp_path / "prof"
+    job.submit("test_prof", "run1", train_seg_semisup_mask_mt,
+               _params(tiny_zip, num_epochs=1, iters_per_epoch=6,
+                       profile_dir=str(prof), save_model=False,
+                       checkpoint_interval=1),
+               results_root=str(tmp_path / "results"))
+    # trace artifacts written
+    assert any(prof.rglob("*")), "no profiler artifacts"
+    # step count is exactly iters_per_epoch (checkpoint at step 6, not 8+)
+    ckpts = os.listdir(tmp_path / "results" / "test_prof" / "run1"
+                       / "checkpoints")
+    assert ckpts == ["ckpt_000000006.msgpack"], ckpts
