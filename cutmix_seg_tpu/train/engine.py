@@ -366,28 +366,29 @@ class TrainEngine:
         if not self.setup():
             return
         # graceful preemption: preemptible TPU slots deliver SIGTERM with a
-        # grace window; stop before dispatching the next iteration and point
-        # at the last epoch-boundary checkpoint (mid-epoch state is never
-        # saved — resume replays the whole epoch deterministically, see
-        # _open_epoch_streams). Single-host only: per-process flags are
-        # uncoordinated, so on a DCN pod an asymmetric stop would wedge the
-        # other hosts in a collective — multi-host pods keep the default
-        # SIGTERM (immediate exit; resume from the last checkpoint is
-        # unchanged). The handler ONLY sets the flag: print/Tee inside a
-        # signal handler can hit CPython's BufferedWriter reentrancy guard.
+        # grace window. Single host: stop before dispatching the next
+        # iteration. Multi-host (DCN pod): per-process flags are
+        # uncoordinated — an asymmetric mid-epoch stop would wedge the other
+        # hosts in a collective — so each host finishes the epoch and the
+        # flags are allgathered ONCE PER EPOCH at the boundary; any host's
+        # signal stops every host after the (checkpointed) epoch. Either
+        # way the last epoch-boundary checkpoint resumes bit-exactly
+        # (mid-epoch state is never saved; resume replays the whole epoch
+        # deterministically, see _open_epoch_streams). The handler ONLY
+        # sets the flag: print/Tee inside a signal handler can hit
+        # CPython's BufferedWriter reentrancy guard.
         import signal
 
         self._preempted = False
+        self._solo = jax.process_count() == 1
 
         def _on_term(signum, frame):
             self._preempted = True
 
-        prev_handler = None
-        if jax.process_count() == 1:
-            try:
-                prev_handler = signal.signal(signal.SIGTERM, _on_term)
-            except ValueError:  # not the main thread: no preemption handling
-                prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread: no preemption handling
+            prev_handler = None
         try:
             self._run_epochs()
         except BaseException:
@@ -426,7 +427,7 @@ class TrainEngine:
                 # step of an epoch lets the epoch finish (eval + checkpoint)
                 # and stops at the next epoch's first iteration instead of
                 # discarding completed work
-                if getattr(self, "_preempted", False):
+                if self._solo and getattr(self, "_preempted", False):
                     if tracing:
                         jax.profiler.stop_trace()
                     print("PREEMPTED: stopped at epoch {} before iter {}; "
@@ -495,6 +496,27 @@ class TrainEngine:
                     ckpt.save_checkpoint_async(
                         self.ctx.checkpoint_dir, self.state,
                         int(self.state.step))
+
+            if not self._solo:
+                # coordinated preemption: allgather the per-host flags once
+                # per epoch; ANY host's SIGTERM stops every host at this
+                # completed epoch boundary (symmetric — no host is left
+                # waiting in a collective)
+                from jax.experimental import multihost_utils as mh
+
+                if bool(mh.process_allgather(
+                        np.asarray(self._preempted)).any()):
+                    ci = max(1, int(p.get("checkpoint_interval", 1)))
+                    if self.is_lead and ((epoch_i + 1) % ci != 0
+                                         and epoch_i + 1 != p["num_epochs"]):
+                        # the interval would have skipped this epoch's save;
+                        # stopping makes it the resume point, so save it
+                        ckpt.save_checkpoint_async(
+                            self.ctx.checkpoint_dir, self.state,
+                            int(self.state.step))
+                    print("PREEMPTED (coordinated): stopping after epoch "
+                          f"{epoch_i + 1}; rerun with --resume", flush=True)
+                    return
 
         self.finalise()
 

@@ -19,6 +19,8 @@ def main():
     if not os.path.exists(zip_path):
         build_tiny_zip(zip_path)
 
+    # NOTE: the trainer itself calls maybe_initialize_distributed(), so the
+    # coordinator env vars (if any) take effect without extra setup here
     from cutmix_seg_tpu.core import job
     from cutmix_seg_tpu.data import sources
 
