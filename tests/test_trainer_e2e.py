@@ -594,3 +594,45 @@ def test_profile_dir_traces_without_extra_steps(tiny_zip, tmp_path,
     ckpts = os.listdir(tmp_path / "results" / "test_prof" / "run1"
                        / "checkpoints")
     assert ckpts == ["ckpt_000000006.msgpack"], ckpts
+
+
+def test_evaluate_model_cli_matches_trainer_eval(tiny_zip, tmp_path,
+                                                 monkeypatch):
+    """The standalone evaluator (tools/evaluate_model.py) must reproduce
+    the trainer's final VAL mIoU exactly, from BOTH the saved model.msgpack
+    and the full checkpoint (teacher net) — same metric pipeline, no
+    trainer required."""
+    import re
+
+    from click.testing import CliRunner
+
+    from cutmix_seg_tpu.tools.evaluate_model import main as eval_cli
+    from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
+
+    _patch_zip(monkeypatch, tiny_zip)
+    job.submit("test_eval_cli", "run1", train_seg_semisup_mask_mt,
+               _params(tiny_zip, num_epochs=1, checkpoint_interval=1),
+               results_root=str(tmp_path / "results"))
+    run_dir = tmp_path / "results" / "test_eval_cli" / "run1"
+    log = (run_dir / "log_run1.txt").read_text()
+    trainer_miou = re.findall(r"VAL mIoU=([\d.]+%)", log)[-1]
+
+    common_args = ["--dataset", "cityscapes", "--arch", "tiny_deeplab_test",
+                   "--batch_size", "2", "--compute_dtype", "float32",
+                   "--n_devices", "2"]
+    r1 = CliRunner().invoke(
+        eval_cli, common_args + ["--model_path",
+                                 str(run_dir / "model.msgpack")],
+        catch_exceptions=False)
+    assert r1.exit_code == 0, r1.output
+    assert f"VAL mIoU={trainer_miou}" in r1.output, (
+        r1.output, trainer_miou)
+
+    r2 = CliRunner().invoke(
+        eval_cli, common_args + ["--checkpoint",
+                                 str(run_dir / "checkpoints"),
+                                 "--net", "teacher"],
+        catch_exceptions=False)
+    assert r2.exit_code == 0, r2.output
+    assert f"VAL mIoU={trainer_miou}" in r2.output, (
+        r2.output, trainer_miou)
