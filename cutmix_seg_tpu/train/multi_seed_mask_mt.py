@@ -55,9 +55,6 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
             raise ValueError(
                 f"--{flag} is not supported by the multi-seed trainer; run "
                 "the single-seed CLI per seed instead")
-    if p.get("resume"):
-        raise ValueError("--resume is not supported by the multi-seed "
-                         "trainer (stacked state has no resume path yet)")
     seeds = [int(s.strip()) for s in p["parallel_split_seeds"].split(",")]
     K = len(seeds)
     crop_hw = common.parse_crop_size(p["crop_size"])
@@ -139,21 +136,43 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
                                      n_threads=p["num_workers"])
     sup_streams, u0_streams, u1_streams = [], [], []
     base = p.get("seed", 0)
-    for k in range(K):
-        sup_streams.append(train_stream(
-            sup_builder, ds_dicts[k]["sup_ndx"], p["batch_size"],
-            seed=base + 10 + k * 100))
-        if use_cons:
-            ub = p["batch_size"] * p["unsup_batch_ratio"]
-            u0_streams.append(train_stream(
-                unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
-                seed=base + 20 + k * 100))
-            if mask_mix:
-                u1_streams.append(train_stream(
-                    unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
-                    seed=base + 30 + k * 100))
-
     colour_key = jax.random.PRNGKey(base + 40)
+
+    def close_streams():
+        for s in sup_streams + u0_streams + u1_streams:
+            s.close()
+        sup_streams.clear(), u0_streams.clear(), u1_streams.clear()
+
+    def open_epoch_streams(epoch_i):
+        """Epoch-folded stream seeds + colour key: same bit-exact-resume
+        contract as the engine (train/engine.py::_open_epoch_streams)."""
+        nonlocal colour_key
+        close_streams()
+        ep = base + epoch_i * 100003
+        for k in range(K):
+            sup_streams.append(train_stream(
+                sup_builder, ds_dicts[k]["sup_ndx"], p["batch_size"],
+                seed=ep + 10 + k * 100))
+            if use_cons:
+                ub = p["batch_size"] * p["unsup_batch_ratio"]
+                u0_streams.append(train_stream(
+                    unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
+                    seed=ep + 20 + k * 100))
+                if mask_mix:
+                    u1_streams.append(train_stream(
+                        unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
+                        seed=ep + 30 + k * 100))
+        colour_key = jax.random.fold_in(
+            jax.random.PRNGKey(base + 40), epoch_i)
+
+    start_epoch = 0
+    if p.get("resume"):
+        latest = ckpt.latest_checkpoint(ctx.checkpoint_dir)
+        if latest is not None:
+            mstate = ckpt.restore_checkpoint(latest, mstate)
+            start_epoch = (int(np.asarray(unstack_state(mstate, 0).step))
+                           // max(p["iters_per_epoch"], 1))
+            print(f"Resumed from {latest} at epoch {start_epoch}")
 
     def seed_batch(k, key):
         sup = augmentor.sup(next(sup_streams[k]))
@@ -173,8 +192,9 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
 
     print("Training...")
     epoch_mious = []
-    for epoch_i in range(p["num_epochs"]):
+    for epoch_i in range(start_epoch, p["num_epochs"]):
         t1 = time.time()
+        open_epoch_streams(epoch_i)
         ramp_val = sigmoid_rampup(epoch_i, p["rampup"]) if p["rampup"] > 0 else 1.0
         metric_accum = []
         for _ in range(p["iters_per_epoch"]):
@@ -186,6 +206,7 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
         m = {k: np.stack([np.asarray(mm[k]) for mm in metric_accum]).mean(axis=0)
              for k in metric_accum[0]}
         if common.check_nan(float(np.asarray(m["sup_loss"]).sum())):
+            close_streams()
             return
 
         t2 = time.time()
@@ -226,8 +247,7 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
                          "final_miou_mean": float(arr.mean()),
                          "final_miou_std": std})
 
-    for s in sup_streams + u0_streams + u1_streams:
-        s.close()
+    close_streams()
 
 
 @click.command()

@@ -92,14 +92,14 @@ def test_multi_seed_multiple_steps_progress():
 
 def test_multiseed_trainer_rejects_unwired_flags():
     """The multi-seed CLI shares common_options, so it parses grad_accum /
-    spatial_train / resume — none of which are wired through the vmapped
-    program; they must be rejected loudly, not parsed-and-ignored."""
+    spatial_train — neither is wired through the vmapped program; they must
+    be rejected loudly, not parsed-and-ignored. (--resume IS supported.)"""
     from cutmix_seg_tpu.core.job import RunContext
     from cutmix_seg_tpu.train.multi_seed_mask_mt import (
         train_seg_semisup_mask_mt_multiseed,
     )
 
     ctx = RunContext("/tmp/unused_mseed_guard", "guard")
-    for bad in ({"grad_accum": 2}, {"spatial_train": 2}, {"resume": True}):
+    for bad in ({"grad_accum": 2}, {"spatial_train": 2}):
         with pytest.raises(ValueError, match="not supported"):
             train_seg_semisup_mask_mt_multiseed(ctx, **bad)

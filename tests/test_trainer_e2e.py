@@ -636,3 +636,46 @@ def test_evaluate_model_cli_matches_trainer_eval(tiny_zip, tmp_path,
     assert r2.exit_code == 0, r2.output
     assert f"VAL mIoU={trainer_miou}" in r2.output, (
         r2.output, trainer_miou)
+
+
+def test_multi_seed_resume_is_bit_exact(tiny_zip, tmp_path, monkeypatch):
+    """Multi-seed resume mirrors the engine's guarantee: a 1+resume-to-2
+    run reproduces the straight 2-epoch run's epoch-2 per-seed metrics and
+    final stacked checkpoint bytes (epoch-folded stream seeds)."""
+    import re
+
+    from cutmix_seg_tpu.train.multi_seed_mask_mt import (
+        train_seg_semisup_mask_mt_multiseed)
+
+    _patch_zip(monkeypatch, tiny_zip)
+    root = str(tmp_path / "results")
+
+    def params(**kw):
+        p = _params(tiny_zip, aug_strong_colour=False, save_model=False,
+                    checkpoint_interval=1, **kw)
+        del p["n_devices"]
+        p["parallel_split_seeds"] = "12345,23456"
+        return p
+
+    job.submit("test_mseed_bx", "full", train_seg_semisup_mask_mt_multiseed,
+               params(num_epochs=2), results_root=root)
+    job.submit("test_mseed_bx", "res", train_seg_semisup_mask_mt_multiseed,
+               params(num_epochs=1), results_root=root)
+    job.submit("test_mseed_bx", "res", train_seg_semisup_mask_mt_multiseed,
+               params(num_epochs=2, resume=True), results_root=root)
+
+    d_full = tmp_path / "results" / "test_mseed_bx" / "full"
+    d_res = tmp_path / "results" / "test_mseed_bx" / "res"
+    log_res = (d_res / "log_res.txt").read_text()
+    assert "Resumed from" in log_res
+
+    def epoch2_lines(text):
+        return sorted(re.findall(r"Epoch 2 \[seed \d+\][^,]*, (.*)", text))
+
+    full2 = epoch2_lines((d_full / "log_full.txt").read_text())
+    res2 = epoch2_lines(log_res)
+    assert len(full2) == 2 and full2 == res2, (full2, res2)
+
+    a = (d_full / "checkpoints" / "ckpt_000000006.msgpack").read_bytes()
+    b = (d_res / "checkpoints" / "ckpt_000000006.msgpack").read_bytes()
+    assert a == b
