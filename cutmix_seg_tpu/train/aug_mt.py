@@ -23,7 +23,10 @@ from cutmix_seg_tpu.train.engine import (
 )
 
 
-def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
+def build_spec(p, **cfg_overrides):
+    """(AlgorithmSpec, cfg) — shared by the engine and multi-seed trainers."""
+    import dataclasses
+
     cfg = AugConsConfig(
         cons_loss_fn=p["cons_loss_fn"],
         cons_weight=p["cons_weight"],
@@ -35,6 +38,8 @@ def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
         unsup_batch_ratio=p["unsup_batch_ratio"],
         grad_accum=p.get("grad_accum", 1),
     )
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     spec = AlgorithmSpec(
         name="aug_mt",
         make_step=lambda model, tx, mesh: make_aug_cons_step(model, tx, cfg),
@@ -43,6 +48,11 @@ def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
         fetch=fetch_aug_pair,
         compose=compose_aug_pair,
     )
+    return spec, cfg
+
+
+def train_seg_semisup_aug_mt(ctx: job.RunContext, **p):
+    spec, cfg = build_spec(p)
     TrainEngine(ctx, spec, cfg, p).run()
 
 

@@ -20,7 +20,10 @@ from cutmix_seg_tpu.train.engine import (
 )
 
 
-def train_seg_semisup_ict(ctx: job.RunContext, **p):
+def build_spec(p, **cfg_overrides):
+    """(AlgorithmSpec, cfg) — shared by the engine and multi-seed trainers."""
+    import dataclasses
+
     cfg = ICTConfig(
         ict_alpha=p["ict_alpha"],
         cons_loss_fn=p["cons_loss_fn"],
@@ -33,6 +36,8 @@ def train_seg_semisup_ict(ctx: job.RunContext, **p):
         unsup_batch_ratio=p["unsup_batch_ratio"],
         grad_accum=p.get("grad_accum", 1),
     )
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     spec = AlgorithmSpec(
         name="ict",
         make_step=lambda model, tx, mesh: make_ict_step(model, tx, cfg),
@@ -41,6 +46,11 @@ def train_seg_semisup_ict(ctx: job.RunContext, **p):
         fetch=fetch_ict,
         compose=compose_mask_pair,
     )
+    return spec, cfg
+
+
+def train_seg_semisup_ict(ctx: job.RunContext, **p):
+    spec, cfg = build_spec(p)
     TrainEngine(ctx, spec, cfg, p).run()
 
 

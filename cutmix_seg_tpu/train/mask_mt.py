@@ -28,7 +28,12 @@ from cutmix_seg_tpu.train.engine import (
 )
 
 
-def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
+def build_spec(p, **cfg_overrides):
+    """(AlgorithmSpec, cfg) for these CLI params — shared by the engine
+    trainer and the multi-seed sweep trainer (which overrides cfg fields,
+    e.g. pallas_cutmix='off' under vmap)."""
+    import dataclasses
+
     if p["mask_mode"] not in ("mix", "zero"):
         raise ValueError(f"unknown mask_mode {p['mask_mode']}")
     mask_mix = p["mask_mode"] == "mix"
@@ -53,6 +58,8 @@ def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
         unsup_batch_ratio=p["unsup_batch_ratio"],
         grad_accum=p.get("grad_accum", 1),
     )
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     spec = AlgorithmSpec(
         name="mask_mt",
         make_step=lambda model, tx, mesh: make_mask_mt_step(model, tx, cfg, mesh=mesh),
@@ -61,6 +68,11 @@ def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
         fetch=fetch_two_streams if mask_mix else fetch_one_stream,
         compose=compose_mask_pair if mask_mix else compose_mask_single,
     )
+    return spec, cfg
+
+
+def train_seg_semisup_mask_mt(ctx: job.RunContext, **p):
+    spec, cfg = build_spec(p)
     TrainEngine(ctx, spec, cfg, p).run()
 
 

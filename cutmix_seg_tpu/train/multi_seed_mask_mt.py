@@ -1,9 +1,11 @@
-"""Multi-seed CutMix mean-teacher trainer: K split seeds in ONE XLA program.
+"""Multi-seed trainer: K split seeds of ANY consistency algorithm in ONE
+XLA program.
 
 The paper's Cityscapes/ISIC tables average 5 split seeds, which the reference
 runs as 5 sequential single-GPU jobs (reference:
 run_cityscapes_experiments.sh:4-8, run_isic2017_experiments.sh:4-8). This
-trainer vmaps the fused CutMix step over a leading seed axis and shards that
+trainer vmaps the chosen algorithm's fused step (--algorithm
+{mask_mt,ict,vat_mt,aug_mt}) over a leading seed axis and shards that
 axis over the mesh — each device (or device group) trains its own seed with
 zero cross-seed communication, turning a 5-job sweep into one run.
 
@@ -26,7 +28,6 @@ from cutmix_seg_tpu.core import job
 from cutmix_seg_tpu.core.train_state import create_train_state
 from cutmix_seg_tpu.data import datasets
 from cutmix_seg_tpu.data.loader import HostBatchBuilder, train_stream
-from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig
 from cutmix_seg_tpu.ops.colour import ColourJitterConfig
 from cutmix_seg_tpu.aug.params import GeomConfig
 from cutmix_seg_tpu.parallel.mesh import make_mesh
@@ -35,7 +36,6 @@ from cutmix_seg_tpu.parallel.multi_seed import (
     stack_pytrees,
     unstack_state,
 )
-from cutmix_seg_tpu.semisup.mask_mt import MaskConsistencyConfig, make_mask_mt_step
 from cutmix_seg_tpu.train import common
 from cutmix_seg_tpu.train.cli_common import common_options
 from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
@@ -58,7 +58,6 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
     seeds = [int(s.strip()) for s in p["parallel_split_seeds"].split(",")]
     K = len(seeds)
     crop_hw = common.parse_crop_size(p["crop_size"])
-    mask_mix = p["mask_mode"] == "mix"
 
     # per-seed data splits (same source; split selection differs per seed)
     ds_dicts = [datasets.load_dataset(
@@ -96,31 +95,42 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
     mstate = stack_pytrees(states)
     print("Built networks")
 
-    cfg = MaskConsistencyConfig(
-        mask_mode=p["mask_mode"],
-        box=BoxMaskConfig(
-            prop_range=common.parse_prop_range(p["mask_prop_range"]),
-            n_boxes=p["boxmask_n_boxes"],
-            random_aspect_ratio=not p["boxmask_fixed_aspect_ratio"],
-            prop_by_area=not p["boxmask_by_size"],
-            within_bounds=not p["boxmask_outside_bounds"],
-            invert=not p["boxmask_no_invert"]),
-        cons_loss_fn=p["cons_loss_fn"], cons_weight=p["cons_weight"],
-        conf_thresh=p["conf_thresh"], conf_per_pixel=p["conf_per_pixel"],
-        freeze_bn=p["freeze_bn"], mean_teacher=mean_teacher,
-        teacher_alpha=p["teacher_alpha"],
-        unsup_batch_ratio=p["unsup_batch_ratio"],
-        # vmap over the custom call is not supported; use the jnp blend
-        pallas_cutmix="off")
+    algo = p.get("algorithm", "mask_mt")
+    if algo == "mask_mt":
+        from cutmix_seg_tpu.train.mask_mt import build_spec
+
+        # vmap over the Pallas custom call is not supported; jnp blend
+        spec, cfg = build_spec(p, pallas_cutmix="off")
+    elif algo == "ict":
+        from cutmix_seg_tpu.train.ict import build_spec
+
+        spec, cfg = build_spec(p)
+    elif algo == "vat_mt":
+        from cutmix_seg_tpu.train.vat_mt import build_spec
+
+        spec, cfg = build_spec(p)
+    elif algo == "aug_mt":
+        from cutmix_seg_tpu.train.aug_mt import build_spec
+
+        spec, cfg = build_spec(p)
+    else:
+        raise ValueError(f"unknown algorithm {algo!r}")
 
     n_dev = len(jax.devices()) if p.get("n_devices", -1) == -1 else p["n_devices"]
     mesh = make_mesh(min(n_dev, K))
-    mstep = make_multi_seed_step(make_mask_mt_step(model, tx, cfg), mesh)
+    mstep = make_multi_seed_step(spec.make_step(model, tx, None), mesh)
 
     geom = GeomConfig.from_cli(
         crop_hw, p["aug_scale_hung"], p["aug_max_scale"], p["aug_rot_mag"],
         p["aug_scale_non_uniform"], p["aug_hflip"], p["aug_vflip"],
         p["aug_hvflip"])
+    if spec.pair_geom and "aug_offset_range" in p:
+        import dataclasses as _dc
+
+        off = p["aug_offset_range"]
+        geom = _dc.replace(
+            geom, crop_offset=(off, off),
+            constrain_rot_scale=not p.get("aug_free_scale_rot", False))
     colour = (ColourJitterConfig(
         brightness=p["aug_colour_brightness"], contrast=p["aug_colour_contrast"],
         saturation=p["aug_colour_saturation"], hue=p["aug_colour_hue"],
@@ -133,15 +143,20 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
     sup_builder = HostBatchBuilder(ds, geom, with_labels=True,
                                    n_threads=p["num_workers"])
     unsup_builder = HostBatchBuilder(ds, geom, with_labels=False,
+                                     pair_geom=spec.pair_geom,
                                      n_threads=p["num_workers"])
-    sup_streams, u0_streams, u1_streams = [], [], []
+    sup_streams = []
+    useed_streams = []  # per seed: list of spec.unsup_streams streams
     base = p.get("seed", 0)
     colour_key = jax.random.PRNGKey(base + 40)
 
     def close_streams():
-        for s in sup_streams + u0_streams + u1_streams:
+        for s in sup_streams:
             s.close()
-        sup_streams.clear(), u0_streams.clear(), u1_streams.clear()
+        for streams_k in useed_streams:
+            for s in streams_k:
+                s.close()
+        sup_streams.clear(), useed_streams.clear()
 
     def open_epoch_streams(epoch_i):
         """Epoch-folded stream seeds + colour key: same bit-exact-resume
@@ -153,15 +168,14 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
             sup_streams.append(train_stream(
                 sup_builder, ds_dicts[k]["sup_ndx"], p["batch_size"],
                 seed=ep + 10 + k * 100))
+            streams_k = []
             if use_cons:
                 ub = p["batch_size"] * p["unsup_batch_ratio"]
-                u0_streams.append(train_stream(
-                    unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
-                    seed=ep + 20 + k * 100))
-                if mask_mix:
-                    u1_streams.append(train_stream(
+                for si in range(spec.unsup_streams):
+                    streams_k.append(train_stream(
                         unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
-                        seed=ep + 30 + k * 100))
+                        seed=ep + 20 + si * 10 + k * 100))
+            useed_streams.append(streams_k)
         colour_key = jax.random.fold_in(
             jax.random.PRNGKey(base + 40), epoch_i)
 
@@ -174,20 +188,15 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
                            // max(p["iters_per_epoch"], 1))
             print(f"Resumed from {latest} at epoch {start_epoch}")
 
+    # spec.fetch reads engine.crop_hw only (aug_mt's host-side pair affine)
+    shim = type("EngineShim", (), {"crop_hw": crop_hw})()
+
     def seed_batch(k, key):
         sup = augmentor.sup(next(sup_streams[k]))
         batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
         if use_cons:
-            k0, k1 = jax.random.split(key)
-            u0 = augmentor.unsup(next(u0_streams[k]), k0)
-            if mask_mix:
-                u1 = augmentor.unsup(next(u1_streams[k]), k1)
-                batch.update(ux0_tea=u0["image"], ux0_stu=u0["image_stu"],
-                             um0=u0["mask"], ux1_tea=u1["image"],
-                             ux1_stu=u1["image_stu"], um1=u1["mask"])
-            else:
-                batch.update(ux_tea=u0["image"], ux_stu=u0["image_stu"],
-                             um=u0["mask"])
+            raw = spec.fetch(shim, useed_streams[k])
+            batch.update(spec.compose(augmentor, raw, key))
         return batch
 
     print("Training...")
@@ -251,7 +260,10 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
 
 
 @click.command()
-@common_options()
+@common_options(with_geom_pair_opts=True)
+@click.option("--algorithm", type=click.Choice(
+    ["mask_mt", "ict", "vat_mt", "aug_mt"]), default="mask_mt",
+    help="which consistency algorithm the sweep trains")
 @click.option("--mask_mode", type=click.Choice(["zero", "mix"]), default="mix")
 @click.option("--mask_prop_range", type=str, default="0.5")
 @click.option("--boxmask_n_boxes", type=int, default=1)
@@ -259,6 +271,10 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
 @click.option("--boxmask_by_size", is_flag=True, default=False)
 @click.option("--boxmask_outside_bounds", is_flag=True, default=False)
 @click.option("--boxmask_no_invert", is_flag=True, default=False)
+@click.option("--ict_alpha", type=float, default=0.1)
+@click.option("--vat_radius", type=float, default=0.5)
+@click.option("--adaptive_vat_radius", is_flag=True, default=False)
+@click.option("--vat_dir_from_student", is_flag=True, default=False)
 @click.option("--parallel_split_seeds", type=str,
               default="12345,23456,34567,45678,56789",
               help="comma-separated split seeds trained simultaneously, one "

@@ -20,7 +20,10 @@ from cutmix_seg_tpu.train.engine import (
 )
 
 
-def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
+def build_spec(p, **cfg_overrides):
+    """(AlgorithmSpec, cfg) — shared by the engine and multi-seed trainers."""
+    import dataclasses
+
     cfg = VATConfig(
         vat_radius=p["vat_radius"],
         adaptive_vat_radius=p["adaptive_vat_radius"],
@@ -35,6 +38,8 @@ def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
         unsup_batch_ratio=p["unsup_batch_ratio"],
         grad_accum=p.get("grad_accum", 1),
     )
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     spec = AlgorithmSpec(
         name="vat_mt",
         make_step=lambda model, tx, mesh: make_vat_step(model, tx, cfg),
@@ -43,6 +48,11 @@ def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
         fetch=fetch_one_stream,
         compose=compose_mask_single,
     )
+    return spec, cfg
+
+
+def train_seg_semisup_vat_mt(ctx: job.RunContext, **p):
+    spec, cfg = build_spec(p)
     TrainEngine(ctx, spec, cfg, p).run()
 
 

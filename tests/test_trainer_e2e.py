@@ -679,3 +679,33 @@ def test_multi_seed_resume_is_bit_exact(tiny_zip, tmp_path, monkeypatch):
     a = (d_full / "checkpoints" / "ckpt_000000006.msgpack").read_bytes()
     b = (d_res / "checkpoints" / "ckpt_000000006.msgpack").read_bytes()
     assert a == b
+
+
+@pytest.mark.parametrize("algo", ["ict", "vat_mt", "aug_mt"])
+def test_multi_seed_trainer_other_algorithms(tiny_zip, tmp_path, monkeypatch,
+                                             algo):
+    """--algorithm generalises the multi-seed sweep beyond mask_mt: each
+    algorithm's REAL fused step vmapped over the seed axis, end-to-end."""
+    from cutmix_seg_tpu.train.multi_seed_mask_mt import (
+        train_seg_semisup_mask_mt_multiseed)
+
+    _patch_zip(monkeypatch, tiny_zip)
+    p = _params(tiny_zip, num_epochs=1, aug_strong_colour=False,
+                save_model=False)
+    del p["n_devices"]
+    p["parallel_split_seeds"] = "12345,23456"
+    p["algorithm"] = algo
+    if algo == "ict":
+        p["ict_alpha"] = 0.1
+    elif algo == "vat_mt":
+        p.update(vat_radius=0.5, adaptive_vat_radius=True,
+                 vat_dir_from_student=False)
+    else:
+        p.update(aug_offset_range=8.0, aug_free_scale_rot=False)
+    job.submit(f"test_mseed_{algo}", "run1",
+               train_seg_semisup_mask_mt_multiseed, p,
+               results_root=str(tmp_path / "results"))
+    log = (tmp_path / "results" / f"test_mseed_{algo}" / "run1"
+           / "log_run1.txt").read_text()
+    assert "[seed 12345]" in log and "[seed 23456]" in log
+    assert log.count("VAL mIoU=") == 2
