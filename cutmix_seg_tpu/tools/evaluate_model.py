@@ -76,14 +76,18 @@ def main(dataset, arch, model_path, checkpoint, net, split, batch_size,
     model = common.build_model(arch, ds.num_classes, compute_dtype)
     mean, std = common.resolve_mean_std(model, ds)
 
-    # a fresh state provides the restore template (shapes are input-size
-    # independent; (65,65) keeps the init program small)
-    need_teacher = checkpoint is not None and net == "teacher"
+    # a fresh student ModelState provides the restore template (shapes are
+    # input-size independent; (65,65) keeps the init program small). The
+    # checkpoint is read as a raw msgpack dict and only the requested
+    # network sub-tree is restored, so the template never has to match the
+    # run's optimizer chain (adam vs sgd) or mean-teacher mode.
+    import flax
+
     opt_cfg = OptimizerConfig(opt_type="adam", learning_rate=1e-3,
                               lr_schedule=make_lr_schedule("none", 1e-3, 1))
     template, _ = create_train_state(
         model, opt_cfg, jax.random.PRNGKey(0), input_hw=(65, 65),
-        mean_teacher=need_teacher, pretrained=False)
+        mean_teacher=False, pretrained=False)
 
     if model_path is not None:
         model_state = ckpt.restore_checkpoint(model_path, template.student)
@@ -95,8 +99,15 @@ def main(dataset, arch, model_path, checkpoint, net, split, batch_size,
                 if os.path.isdir(checkpoint) else checkpoint)
         if path is None:
             raise click.UsageError(f"no checkpoints under {checkpoint!r}")
-        state = ckpt.restore_checkpoint(path, template)
-        model_state = state.teacher if net == "teacher" else state.student
+        with open(path, "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
+        sub = raw[net]
+        if not sub.get("params"):
+            raise click.UsageError(
+                f"checkpoint {path!r} has no {net} network (pi-model runs "
+                "keep no separate teacher; use --net student)")
+        model_state = flax.serialization.from_state_dict(
+            template.student, sub)
         src = f"{path} ({net})"
 
     n_dev = len(jax.devices()) if n_devices == -1 else n_devices

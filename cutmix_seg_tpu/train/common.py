@@ -22,6 +22,24 @@ from cutmix_seg_tpu.ops.colour import ColourJitterConfig
 from cutmix_seg_tpu.ops.iou import EvaluatorIoU
 
 
+def epoch_stream_seed(base_seed: int, epoch_i: int) -> int:
+    """Epoch-folded base for host-stream seeds.
+
+    Host randomness (sample order, geometric/colour params) must be a pure
+    function of (seed, process, epoch) so --resume from an epoch-boundary
+    checkpoint is bit-exact; the engine and the multi-seed trainer share
+    this fold (the per-stream/per-seed offsets added on top stay well below
+    the stride)."""
+    return base_seed + epoch_i * 100003
+
+
+def epoch_colour_key(base_seed: int, epoch_i: int) -> jax.Array:
+    """Epoch-folded colour-jitter key — derived from the PROCESS-INDEPENDENT
+    base seed: it is a replicated jit input and must be bitwise identical on
+    every host (GSPMD same-value rule)."""
+    return jax.random.fold_in(jax.random.PRNGKey(base_seed + 40), epoch_i)
+
+
 def parse_crop_size(crop_size: str):
     if crop_size == "":
         return None

@@ -310,7 +310,7 @@ class TrainEngine:
         test_resume_is_bit_exact_continuation).
         """
         self.close_streams()
-        ep = self._stream_seed + epoch_i * 100003
+        ep = common.epoch_stream_seed(self._stream_seed, epoch_i)
         self.sup_stream = train_stream(
             self._sup_builder, self.sup_ndx, self._host_batch, seed=ep + 10)
         if self.use_cons:
@@ -319,10 +319,7 @@ class TrainEngine:
                 self.streams.append(train_stream(
                     self._unsup_builder, self.unsup_ndx, ub,
                     seed=ep + 20 + si * 10))
-        # replicated jit input: folded from the PROCESS-INDEPENDENT base so
-        # it stays bitwise identical on every host (GSPMD same-value rule)
-        self.colour_key = jax.random.fold_in(
-            jax.random.PRNGKey(self._base_seed + 40), epoch_i)
+        self.colour_key = common.epoch_colour_key(self._base_seed, epoch_i)
 
     def close_streams(self):
         if getattr(self, "sup_stream", None) is not None:
@@ -497,26 +494,33 @@ class TrainEngine:
                         self.ctx.checkpoint_dir, self.state,
                         int(self.state.step))
 
+            # epoch-boundary preemption check (both modes). Multi-host: the
+            # per-host flags are allgathered once per epoch, so ANY host's
+            # SIGTERM stops every host at this completed epoch boundary
+            # (symmetric — no host is left waiting in a collective). Solo:
+            # the local flag alone (a mid-epoch signal also stops at the
+            # next iteration, above).
+            stop = bool(getattr(self, "_preempted", False))
             if not self._solo:
-                # coordinated preemption: allgather the per-host flags once
-                # per epoch; ANY host's SIGTERM stops every host at this
-                # completed epoch boundary (symmetric — no host is left
-                # waiting in a collective)
                 from jax.experimental import multihost_utils as mh
 
-                if bool(mh.process_allgather(
-                        np.asarray(self._preempted)).any()):
-                    ci = max(1, int(p.get("checkpoint_interval", 1)))
-                    if self.is_lead and ((epoch_i + 1) % ci != 0
-                                         and epoch_i + 1 != p["num_epochs"]):
-                        # the interval would have skipped this epoch's save;
-                        # stopping makes it the resume point, so save it
-                        ckpt.save_checkpoint_async(
-                            self.ctx.checkpoint_dir, self.state,
-                            int(self.state.step))
-                    print("PREEMPTED (coordinated): stopping after epoch "
+                stop = bool(mh.process_allgather(np.asarray(stop)).any())
+            if stop:
+                ci = max(1, int(p.get("checkpoint_interval", 1)))
+                if self.is_lead and ((epoch_i + 1) % ci != 0
+                                     and epoch_i + 1 != p["num_epochs"]):
+                    # the interval would have skipped this epoch's save;
+                    # stopping makes it the resume point, so save it
+                    ckpt.save_checkpoint_async(
+                        self.ctx.checkpoint_dir, self.state,
+                        int(self.state.step))
+                if epoch_i + 1 < p["num_epochs"]:
+                    print("PREEMPTED: stopping after epoch "
                           f"{epoch_i + 1}; rerun with --resume", flush=True)
                     return
+                # the signal landed during the FINAL epoch: everything is
+                # trained — fall through to finalise() (model export,
+                # save_preds, test eval) instead of discarding it
 
         self.finalise()
 

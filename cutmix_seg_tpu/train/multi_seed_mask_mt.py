@@ -163,7 +163,7 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
         contract as the engine (train/engine.py::_open_epoch_streams)."""
         nonlocal colour_key
         close_streams()
-        ep = base + epoch_i * 100003
+        ep = common.epoch_stream_seed(base, epoch_i)
         for k in range(K):
             sup_streams.append(train_stream(
                 sup_builder, ds_dicts[k]["sup_ndx"], p["batch_size"],
@@ -176,15 +176,14 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
                         unsup_builder, ds_dicts[k]["unsup_ndx"], ub,
                         seed=ep + 20 + si * 10 + k * 100))
             useed_streams.append(streams_k)
-        colour_key = jax.random.fold_in(
-            jax.random.PRNGKey(base + 40), epoch_i)
+        colour_key = common.epoch_colour_key(base, epoch_i)
 
     start_epoch = 0
     if p.get("resume"):
         latest = ckpt.latest_checkpoint(ctx.checkpoint_dir)
         if latest is not None:
             mstate = ckpt.restore_checkpoint(latest, mstate)
-            start_epoch = (int(np.asarray(unstack_state(mstate, 0).step))
+            start_epoch = (int(np.asarray(mstate.step)[0])
                            // max(p["iters_per_epoch"], 1))
             print(f"Resumed from {latest} at epoch {start_epoch}")
 
@@ -240,8 +239,8 @@ def train_seg_semisup_mask_mt_multiseed(ctx: job.RunContext, **p):
                              "val_miou": float(iou.mean())})
         ci = max(1, int(p.get("checkpoint_interval", 1)))
         if (epoch_i + 1) % ci == 0 or epoch_i + 1 == p["num_epochs"]:
-            ckpt.save_checkpoint(ctx.checkpoint_dir, mstate, int(
-                np.asarray(unstack_state(mstate, 0).step)))
+            ckpt.save_checkpoint(ctx.checkpoint_dir, mstate,
+                                 int(np.asarray(mstate.step)[0]))
 
     # the paper-table aggregate: mean +/- std over the split seeds
     # (reference README.md reports 5-seed mean/stddev rows)

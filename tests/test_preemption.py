@@ -34,21 +34,27 @@ def test_sigterm_preempts_and_resume_completes(tmp_path):
         stderr=subprocess.STDOUT, text=True)
     log_path = os.path.join(out_root, "preempt_trainer", "run1",
                             "log_run1.txt")
-    # wait for the first epoch line (ensures >= 1 resume checkpoint exists)
-    deadline = time.time() + 420
-    while time.time() < deadline:
-        if os.path.exists(log_path) and "Epoch 1:" in open(log_path).read():
-            break
-        if proc.poll() is not None:
-            out = proc.communicate()[0]
-            raise AssertionError(f"child exited early:\n{out[-3000:]}")
-        time.sleep(1)
-    else:
-        proc.kill()
-        raise AssertionError("child never reached epoch 1")
+    # wait for the first epoch line (ensures >= 1 resume checkpoint exists);
+    # kill the child on EVERY failure path (it would train 50 epochs into a
+    # full stdout pipe otherwise)
+    try:
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            if (os.path.exists(log_path)
+                    and "Epoch 1:" in open(log_path).read()):
+                break
+            if proc.poll() is not None:
+                out = proc.communicate()[0]
+                raise AssertionError(f"child exited early:\n{out[-3000:]}")
+            time.sleep(1)
+        else:
+            raise AssertionError("child never reached epoch 1")
 
-    proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=240)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
     assert proc.returncode == 0, out[-3000:]
     assert "PREEMPTED: stopped at epoch" in out
     assert "CHILD_EXIT_CLEAN" in out
@@ -108,40 +114,47 @@ def test_sigterm_coordinated_stop_across_processes(tmp_path):
             stderr=subprocess.STDOUT, text=True))
 
     # wait until the LEAD process has logged epoch 1 (both are in lockstep
-    # at the epoch allgather), then preempt only process 1
+    # at the epoch allgather), then preempt only process 1. Any failure path
+    # must kill BOTH children (an orphan keeps training for 50 epochs with
+    # an undrained stdout pipe).
     log_path = os.path.join(out_root, "preempt_trainer", "dcn0",
                             "log_dcn0.txt")
-    deadline = time.time() + 420
-    while time.time() < deadline:
-        if os.path.exists(log_path) and "Epoch 1:" in open(log_path).read():
-            break
-        for p in procs:
-            if p.poll() is not None:
-                outs = [pr.communicate()[0] if pr.poll() is not None else ""
-                        for pr in procs]
-                if any(b in o for o in outs
-                       for b in ("Permission denied", "UNAVAILABLE",
-                                 "failed to connect")):
-                    pytest.skip("localhost coordinator blocked")
-                raise AssertionError(
-                    "child exited early:\n" + outs[0][-2000:]
-                    + "\n---\n" + outs[1][-2000:])
-        time.sleep(1)
-    else:
-        for p in procs:
-            p.kill()
-        raise AssertionError("children never reached epoch 1")
-
-    procs[1].send_signal(signal.SIGTERM)
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
-        assert p.returncode == 0, out[-3000:]
+    try:
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            if (os.path.exists(log_path)
+                    and "Epoch 1:" in open(log_path).read()):
+                break
+            for p in procs:
+                if p.poll() is not None:
+                    outs = [pr.communicate()[0]
+                            if pr.poll() is not None else ""
+                            for pr in procs]
+                    if any(b in o for o in outs
+                           for b in ("Permission denied", "UNAVAILABLE",
+                                     "failed to connect")):
+                        pytest.skip("localhost coordinator blocked")
+                    raise AssertionError(
+                        "child exited early:\n" + outs[0][-2000:]
+                        + "\n---\n" + outs[1][-2000:])
+            time.sleep(1)
+        else:
+            raise AssertionError("children never reached epoch 1")
+
+        procs[1].send_signal(signal.SIGTERM)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+            assert p.returncode == 0, out[-3000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     # BOTH processes took the coordinated stop
     for out in outs:
-        assert "PREEMPTED (coordinated): stopping after epoch" in out, \
-            out[-2000:]
+        assert "PREEMPTED: stopping after epoch" in out, out[-2000:]
         assert "CHILD_EXIT_CLEAN" in out
     # both stopped after the SAME epoch
     import re

@@ -610,8 +610,12 @@ def test_evaluate_model_cli_matches_trainer_eval(tiny_zip, tmp_path,
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt
 
     _patch_zip(monkeypatch, tiny_zip)
+    # SGD on purpose: the evaluator restores the network sub-tree from the
+    # raw checkpoint dict, so it must not depend on the run's optimizer
+    # chain shape (a template hardcoding adam broke on sgd checkpoints)
     job.submit("test_eval_cli", "run1", train_seg_semisup_mask_mt,
-               _params(tiny_zip, num_epochs=1, checkpoint_interval=1),
+               _params(tiny_zip, num_epochs=1, checkpoint_interval=1,
+                       opt_type="sgd", lr_sched="poly"),
                results_root=str(tmp_path / "results"))
     run_dir = tmp_path / "results" / "test_eval_cli" / "run1"
     log = (run_dir / "log_run1.txt").read_text()
