@@ -27,6 +27,15 @@ import time
 def note(msg):
     print(msg, file=sys.stderr, flush=True)
 
+
+def sync(metrics):
+    """Host round-trip sync that survives `python -O` (no assert)."""
+    import numpy as np
+
+    loss = float(metrics["sup_loss"])
+    if not np.isfinite(loss):
+        raise RuntimeError(f"non-finite sup_loss during bench: {loss}")
+
 REFERENCE_IMG_PER_SEC = 20.0  # estimated reference throughput (see docstring)
 
 BATCH = 10
@@ -102,6 +111,10 @@ def main():
         remat_loss_chain=True,
     )
 
+    if jax.process_count() > 1:
+        note("bench sizes the batch by len(jax.devices()); multi-process "
+             "runs would inflate the global batch — run single-process.")
+        sys.exit(3)
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
     step = jit_sharded_step(make_mask_mt_step(model, tx, cfg), mesh)
@@ -128,13 +141,13 @@ def main():
         # force a host round-trip: on the experimental axon platform
         # block_until_ready does not reliably synchronise; syncing each warmup
         # step also absorbs the layout recompile before timing starts
-        assert np.isfinite(float(metrics["sup_loss"]))
+        sync(metrics)
     note(f"bench: warmup done in {time.perf_counter() - t_w:.1f}s; timing...")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, ramp)
-    assert np.isfinite(float(metrics["sup_loss"]))  # sync point
+    sync(metrics)
     dt = time.perf_counter() - t0
 
     iters_per_sec = ITERS / dt

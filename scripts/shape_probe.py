@@ -35,8 +35,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NUM_CLASSES = 21
-WARMUP = 2
+WARMUP = 3  # match bench.py so the bs10/crop321 row is comparable
 ITERS = 15
+
+
+def _sync(metrics):
+    """Host round-trip sync that survives `python -O` (no assert)."""
+    import numpy as np
+
+    loss = float(metrics["sup_loss"])
+    if not np.isfinite(loss):
+        raise RuntimeError(f"non-finite sup_loss during probe: {loss}")
 
 VARIANTS = [
     (10, 321),  # paper recipe (bench honesty point)
@@ -84,8 +93,14 @@ def main():
     cfg = MaskConsistencyConfig(
         mask_mode="mix", box=BoxMaskConfig((0.5, 0.5)), cons_weight=1.0,
         conf_thresh=0.97, conf_per_pixel=False, freeze_bn=True,
-        mean_teacher=True, teacher_alpha=0.99, pallas_cutmix="off")
+        mean_teacher=True, teacher_alpha=0.99, pallas_cutmix="off",
+        remat_loss_chain=True)  # match bench.py's honest recipe
 
+    if jax.process_count() > 1:
+        raise SystemExit(
+            "shape_probe sizes the batch by len(jax.devices()); in a "
+            "multi-process run that inflates the global batch — run it "
+            "single-process.")
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
     step = jit_sharded_step(make_mask_mt_step(model, tx, cfg), mesh)
@@ -112,12 +127,12 @@ def main():
         t_c = time.perf_counter()
         for _ in range(WARMUP):
             state, metrics = step(state, batch, ramp)
-            assert np.isfinite(float(metrics["sup_loss"]))  # scalar sync
+            _sync(metrics)
         compile_s = time.perf_counter() - t_c
         t0 = time.perf_counter()
         for _ in range(ITERS):
             state, metrics = step(state, batch, ramp)
-        assert np.isfinite(float(metrics["sup_loss"]))  # scalar sync
+        _sync(metrics)
         dt = time.perf_counter() - t0
         key = f"bs{bs}_crop{crop}"
         step_ms = dt / ITERS * 1000.0
