@@ -66,6 +66,20 @@ def _reflect101_dyn(coord, size):
     return jnp.where(c >= size, period - c, c)
 
 
+def _round_half_up(coord, canvas_n):
+    """Nearest-tap rounding with a tiny scale-aware bias.
+
+    Source coordinates land EXACTLY on half-integers whenever the transform's
+    rational scale factors allow it (e.g. the Hung crop-scale family), and
+    there the floor(c + 0.5) tap choice is decided by the last ulp of the
+    f32 mul-add — which differs between compiled programs (FMA contraction).
+    A bias of a few ulps of the canvas scale makes every program round such
+    boundary coordinates half-UP consistently (the gather and separable warp
+    paths must agree bit-for-bit on label taps); genuinely non-boundary
+    coordinates are unaffected."""
+    return jnp.floor(coord + (0.5 + canvas_n * 1e-6))
+
+
 def _gather_nhwc(img, iy, ix):
     n, h, w, c = img.shape
     flat = img.reshape(n, h * w, c)
@@ -152,8 +166,8 @@ def warp_image_canvas(
     bil = (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
     # nearest
-    xn = jnp.floor(sx + 0.5).astype(jnp.int32)
-    yn = jnp.floor(sy + 0.5).astype(jnp.int32)
+    xn = _round_half_up(sx, canvas.shape[2]).astype(jnp.int32)
+    yn = _round_half_up(sy, canvas.shape[1]).astype(jnp.int32)
     near = tap(yn, xn)
 
     use_bil = (interp.astype(jnp.int32) == 1)[:, None, None, None]
@@ -183,8 +197,8 @@ def warp_labels_canvas(
     """
     n = labels_canvas.shape[0]
     sx, sy = _source_coords(m, out_hw, n)
-    xn = jnp.floor(sx + 0.5).astype(jnp.int32)
-    yn = jnp.floor(sy + 0.5).astype(jnp.int32)
+    xn = _round_half_up(sx, labels_canvas.shape[2]).astype(jnp.int32)
+    yn = _round_half_up(sy, labels_canvas.shape[1]).astype(jnp.int32)
     h_i = sizes_hw[:, 0].astype(jnp.int32)[:, None, None]
     w_i = sizes_hw[:, 1].astype(jnp.int32)[:, None, None]
     inb = (xn >= 0) & (xn < w_i) & (yn >= 0) & (yn < h_i)
@@ -192,6 +206,111 @@ def warp_labels_canvas(
     xc = jnp.clip(xn, 0, labels_canvas.shape[2] - 1)
     vals = _gather_nhwc(labels_canvas.astype(jnp.int32)[..., None], yc, xc)[..., 0]
     return jnp.where(inb, vals, ignore_value)
+
+
+def _axis_weights(coord, extent, canvas_n, bilinear: bool):
+    """Per-axis interpolation weight matrix for separable (axis-aligned) warps.
+
+    For a diagonal affine (no rotation, no diagonal flip) the source
+    coordinate along each output axis depends only on that axis, so the warp
+    factorises into two 1-D resamples. Each 1-D resample is expressed as a
+    dense (canvas_n, out_n) matrix with at most two non-zeros per output
+    column — the bilinear tap weights — and contracted on the MXU: the
+    TPU-native formulation of image warping (matmuls are ~free; 2-D gathers
+    are the slowest primitive on TPU).
+
+    :param coord: (N, O) float source coordinate per output position
+    :param extent: (N,) true extent along this axis (taps beyond it weight 0,
+        matching the constant-0 border of the gather path)
+    :param canvas_n: static canvas size along this axis
+    :return: (weights (N, canvas_n, O) f32, coverage (N, O) f32 in [0, 1])
+    """
+    w_iota = jax.lax.broadcasted_iota(jnp.float32, (1, canvas_n, 1), 1)
+    c = coord[:, None, :]
+    ext = extent.astype(jnp.float32)[:, None, None]
+    if bilinear:
+        wt = jnp.clip(1.0 - jnp.abs(c - w_iota), 0.0, 1.0)
+    else:
+        wt = (w_iota == _round_half_up(c, canvas_n)).astype(jnp.float32)
+    wt = jnp.where(w_iota < ext, wt, 0.0)
+    if bilinear:
+        # bilinear coverage of [0, extent-1] (== _coverage per axis)
+        cov = jnp.clip(
+            1.0 - jnp.maximum(-coord, coord - (extent.astype(jnp.float32)[:, None] - 1.0)),
+            0.0, 1.0)
+    else:
+        r = _round_half_up(coord, canvas_n)
+        cov = ((r >= 0) & (r < extent.astype(jnp.float32)[:, None])).astype(jnp.float32)
+    return wt, cov
+
+
+def _source_coords_1d(m, out_hw, dtype=jnp.float32):
+    """Per-axis source coords for diagonal matrices: sx(x), sy(y)."""
+    inv = _invert_nx2x3(m.astype(dtype))
+    xs = jnp.arange(out_hw[1], dtype=dtype)[None, :]
+    ys = jnp.arange(out_hw[0], dtype=dtype)[None, :]
+    sx = inv[:, 0, 0, None] * xs + inv[:, 0, 2, None]
+    sy = inv[:, 1, 1, None] * ys + inv[:, 1, 2, None]
+    return sx, sy
+
+
+_EINSUM_EXACT = dict(precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_image_canvas_separable(
+    canvas: jnp.ndarray,
+    m: jnp.ndarray,
+    sizes_hw: jnp.ndarray,
+    out_hw: Tuple[int, int],
+):
+    """Axis-aligned (diagonal-affine) warp as two MXU matmuls.
+
+    Valid for the 'crop' / 'crop_scale_hung' transform families without the
+    diagonal (axis-swapping) flip: their matrices are diagonal, so the warp
+    separates into a y-resample then an x-resample, each a dense
+    weight-matrix contraction. Bilinear only (those families always sample
+    bilinearly; aug/params.py returns interp=1). Border semantics are the
+    gather path's 'constant': taps beyond the true extent contribute 0 and
+    the valid mask is the bilinear coverage of the extent rectangle —
+    results match warp_image_canvas to f32 rounding.
+    """
+    n, chh, cww, _ = canvas.shape
+    sx, sy = _source_coords_1d(m, out_hw)
+    wy, covy = _axis_weights(sy, sizes_hw[:, 0], chh, bilinear=True)
+    wx, covx = _axis_weights(sx, sizes_hw[:, 1], cww, bilinear=True)
+    img = canvas.astype(jnp.float32)
+    rows = jnp.einsum("nhwc,nhy->nywc", img, wy, **_EINSUM_EXACT)
+    crop = jnp.einsum("nywc,nwx->nyxc", rows, wx, **_EINSUM_EXACT)
+    valid = (covy[:, :, None] * covx[:, None, :])[..., None]
+    return crop, valid
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "ignore_value"))
+def warp_labels_canvas_separable(
+    labels_canvas: jnp.ndarray,
+    m: jnp.ndarray,
+    sizes_hw: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    ignore_value: int = 255,
+):
+    """Nearest label warp for diagonal matrices via one-hot matmuls.
+
+    The per-axis weight matrices are exact one-hots at the rounded source
+    coordinate, so the contraction selects a single integer value per output
+    pixel (exact in f32 for uint8 labels); outside the true extent the
+    per-axis coverage is 0 and the output is ``ignore_value`` — identical to
+    warp_labels_canvas.
+    """
+    sx, sy = _source_coords_1d(m, out_hw)
+    chh, cww = labels_canvas.shape[1], labels_canvas.shape[2]
+    wy, iny = _axis_weights(sy, sizes_hw[:, 0], chh, bilinear=False)
+    wx, inx = _axis_weights(sx, sizes_hw[:, 1], cww, bilinear=False)
+    lab = labels_canvas.astype(jnp.float32)
+    rows = jnp.einsum("nhw,nhy->nyw", lab, wy, **_EINSUM_EXACT)
+    vals = jnp.einsum("nyw,nwx->nyx", rows, wx, **_EINSUM_EXACT)
+    inb = (iny[:, :, None] * inx[:, None, :]) > 0.0
+    return jnp.where(inb, jnp.round(vals).astype(jnp.int32), ignore_value)
 
 
 def normalise(img_255, valid, mean, std):
@@ -209,7 +328,8 @@ def border_for_mode(geom_mode: str) -> str:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "with_labels", "colour_cfg", "ignore_value", "border"),
+    static_argnames=("out_hw", "with_labels", "colour_cfg", "ignore_value",
+                     "border", "separable"),
 )
 def augment_batch(
     canvas: jnp.ndarray,
@@ -225,6 +345,7 @@ def augment_batch(
     colour_cfg: Optional[ColourJitterConfig] = None,
     ignore_value: int = 255,
     border: str = "constant",
+    separable: bool = False,
 ):
     """One fused program: warp + (optional) colour jitter + normalise.
 
@@ -239,7 +360,13 @@ def augment_batch(
     content is standardised plainly and only the valid mask marks the
     out-of-image region (seg_transforms_cv.py:366-373).
     """
-    crop, valid = warp_image_canvas(canvas, m, sizes_hw, interp, out_hw, border)
+    if separable:
+        # axis-aligned transform families: the warp runs as MXU matmuls
+        # (interp is ignored — those families always sample bilinearly)
+        crop, valid = warp_image_canvas_separable(canvas, m, sizes_hw, out_hw)
+    else:
+        crop, valid = warp_image_canvas(
+            canvas, m, sizes_hw, interp, out_hw, border)
     out = {"mask": valid}
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
@@ -250,7 +377,10 @@ def augment_batch(
         out["image_stu"] = (stu01 - mean * alpha) / std
     out["image"] = (img01 - mean * alpha) / std
     if with_labels:
-        out["labels"] = warp_labels_canvas(
-            labels_canvas, m, sizes_hw, out_hw, ignore_value
-        )
+        if separable:
+            out["labels"] = warp_labels_canvas_separable(
+                labels_canvas, m, sizes_hw, out_hw, ignore_value)
+        else:
+            out["labels"] = warp_labels_canvas(
+                labels_canvas, m, sizes_hw, out_hw, ignore_value)
     return out

@@ -92,6 +92,11 @@ def common_options(with_geom_pair_opts: bool = False):
                           "memory ~1/N through forward and backward for "
                           "high-resolution crops; crop height must divide "
                           "by N"),
+        click.option("--data_on_device", type=click.Choice(
+            ["auto", "on", "off"]), default="auto",
+            help="TPU extra: stage the decoded training canvases in HBM and "
+                 "ship only indices+matrices per iteration (auto: when the "
+                 "dataset fits a 1 GB budget; single-process only)"),
         click.option("--no_pretrained", is_flag=True, default=False,
                      help="skip loading pretrained backbone weights (random "
                           "init; for machines without the weight files)"),

@@ -89,6 +89,13 @@ def build_optimizer_config(opt_type, learning_rate, lr_sched, lr_step_epochs,
     )
 
 
+def separable_for_geom(geom) -> bool:
+    """Whether the warp can run on the separable MXU-matmul path: the
+    'crop' / 'crop_scale_hung' families produce diagonal affines unless the
+    diagonal (axis-swapping) flip is enabled."""
+    return geom.mode in ("crop", "crop_scale_hung") and not geom.hvflip
+
+
 @dataclasses.dataclass
 class DeviceAugmentor:
     """Applies the fused device augmentation to host canvas batches."""
@@ -98,6 +105,7 @@ class DeviceAugmentor:
     crop_hw: Tuple[int, int]
     geom_mode: str
     colour: Optional[ColourJitterConfig] = None
+    separable: bool = False
 
     def sup(self, host_batch) -> Dict[str, jnp.ndarray]:
         out = augment_batch(
@@ -109,6 +117,7 @@ class DeviceAugmentor:
             self.mean, self.std, None,
             out_hw=self.crop_hw, with_labels=True,
             border=border_for_mode(self.geom_mode),
+            separable=self.separable,
         )
         return out
 
@@ -123,6 +132,7 @@ class DeviceAugmentor:
             out_hw=self.crop_hw, with_labels=False,
             colour_cfg=self.colour,
             border=border_for_mode(self.geom_mode),
+            separable=self.separable,
         )
         if "image_stu" not in out:
             out["image_stu"] = out["image"]

@@ -198,7 +198,8 @@ class TrainEngine:
                 greyscale_prob=p["aug_colour_greyscale_prob"])
             if p["aug_strong_colour"] else None)
         self.augmentor = common.DeviceAugmentor(
-            self.mean, self.std, self.crop_hw, self.geom.mode, self.colour)
+            self.mean, self.std, self.crop_hw, self.geom.mode, self.colour,
+            separable=common.separable_for_geom(self.geom))
 
         # ONE XLA program per training iteration: the device augmentation of
         # every stream (sup warp+normalise, unsup warp+colour pair+masks) is
@@ -213,6 +214,16 @@ class TrainEngine:
         mesh = self.mesh
 
         def fused_step(state, raw, scalars):
+            if "data" in scalars:
+                # resident store: materialise canvases from HBM inside the
+                # program (raw parts carry only indices + geometry)
+                from cutmix_seg_tpu.data.resident import gather_part
+
+                raw = {
+                    k: (gather_part(scalars["data"], v,
+                                    with_labels=(k == "sup"))
+                        if isinstance(v, dict) and "idx" in v else v)
+                    for k, v in raw.items()}
             sup = augmentor.sup(raw["sup"])
             batch = {"sup_x": sup["image"], "sup_y": sup["labels"]}
             if use_cons:
@@ -267,11 +278,14 @@ class TrainEngine:
                 f"{n_proc} processes")
         host_batch = global_batch // n_proc
         self.use_cons = self.algo_cfg.cons_weight > 0.0
+        self._setup_resident(p)
         self._sup_builder = HostBatchBuilder(
-            self.ds, self.geom, with_labels=True, n_threads=p["num_workers"])
+            self.ds, self.geom, with_labels=True, n_threads=p["num_workers"],
+            resident=self.resident)
         self._unsup_builder = (HostBatchBuilder(
             self.ds, self.geom, with_labels=False,
-            pair_geom=self.spec.pair_geom, n_threads=p["num_workers"])
+            pair_geom=self.spec.pair_geom, n_threads=p["num_workers"],
+            resident=self.resident)
             if self.use_cons else None)
         self._host_batch = host_batch
         self._stream_seed = seed
@@ -297,6 +311,34 @@ class TrainEngine:
         # metrics, exports) — every process still runs eval (collectives)
         self.is_lead = jax.process_index() == 0
         return True
+
+    def _setup_resident(self, p):
+        """Stage the training canvases in HBM when they fit (data/resident.py):
+        per-iteration host->device traffic drops from ~canvas-bytes to a few
+        KB of indices + matrices — the dominant cost on tunnelled TPU hosts."""
+        from cutmix_seg_tpu.data import resident as res_mod
+
+        self.resident = None
+        mode = p.get("data_on_device", "auto")
+        if mode not in ("auto", "on", "off"):
+            raise ValueError(f"--data_on_device must be auto/on/off, got {mode}")
+        if mode == "off":
+            return
+        if jax.process_count() > 1:
+            if mode == "on":
+                raise ValueError(
+                    "--data_on_device on is single-process only (replicating "
+                    "the store across DCN hosts is not supported); use auto/off")
+            return
+        need = (np.unique(np.concatenate([self.sup_ndx, self.unsup_ndx]))
+                if self.use_cons else np.unique(self.sup_ndx))
+        nbytes = res_mod.resident_nbytes(self.ds, len(need), True)
+        if mode == "auto" and nbytes > res_mod.DEFAULT_MAX_BYTES:
+            return
+        self.resident = res_mod.ResidentDataset(
+            self.ds, need, self.mesh, with_labels=True)
+        print(f"Data on device: {len(need)} canvases "
+              f"({nbytes / 1e6:.0f} MB) staged in HBM")
 
     def _open_epoch_streams(self, epoch_i: int):
         """(Re)open the host input streams with epoch-folded seeds.
@@ -440,6 +482,8 @@ class TrainEngine:
                     tracing = True
                 raw = self.make_raw_batch()
                 scalars = {"ramp": ramp, "key": self.next_key(), "msum": msum}
+                if self.resident is not None:
+                    scalars["data"] = self.resident.device
                 self.state, msum = self.step(self.state, raw, scalars)
                 n_steps += 1
                 if tracing and (it >= 4 or it == p["iters_per_epoch"] - 1):

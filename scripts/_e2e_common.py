@@ -31,6 +31,7 @@ def base_params(**overrides) -> dict:
         val_seed=131, save_preds=False, save_model=False, num_workers=4,
         compute_dtype="bfloat16", n_devices=-1, resume=False,
         nan_check_interval=100, seed=0, no_pretrained=True,
+        data_on_device="auto",
     )
     p.update(overrides)
     return p

@@ -152,8 +152,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     out = {
         "recipe": "mask_mt DeepLab v2 R101 frozen-BN mix (paper headline "
-                  "shape family); one process, shared state/step fn, 2-call "
-                  "warmup, 15 timed iters, scalar host-round-trip sync",
+                  "shape family); one process, shared state/step fn, 3-call "
+                  "warmup (matches bench.py), 15 timed iters, scalar "
+                  "host-round-trip sync; remat_loss_chain=True as in bench",
         "device": str(jax.devices()[0]),
         "variants": results,
     }

@@ -233,3 +233,66 @@ def test_ship_window_disabled_for_reflect_mode():
     # window never larger than what helps
     small = GeomConfig(crop_size=(30, 30), mode="crop")
     assert ship_window_hw(small, (32, 32)) is None
+
+
+def test_resident_store_matches_streaming(cityscapes_zip):
+    """Device-resident index mode produces bit-identical training batches to
+    canvas streaming: same geometry RNG draws, same augmented tensors
+    (data/resident.py)."""
+    import jax.numpy as jnp
+
+    from cutmix_seg_tpu.aug.device import augment_batch
+    from cutmix_seg_tpu.data.resident import (
+        ResidentDataset,
+        gather_part,
+        resident_nbytes,
+    )
+    from cutmix_seg_tpu.parallel.mesh import make_mesh
+
+    ds = sources.CityscapesDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    mesh = make_mesh(1)
+    res = ResidentDataset(ds, ds.train_ndx, mesh, with_labels=True)
+    assert resident_nbytes(ds, len(ds.train_ndx), True) >= res.device[
+        "canvas"].size
+
+    geom = GeomConfig(crop_size=(16, 16), mode="crop_scale_hung", hflip=True)
+    stream_b = HostBatchBuilder(ds, geom, with_labels=True)
+    index_b = HostBatchBuilder(ds, geom, with_labels=True, resident=res)
+
+    idx = np.asarray(ds.train_ndx[:4])
+    host = stream_b.build(idx, np.random.RandomState(3))
+    part = index_b.build(idx, np.random.RandomState(3))
+    # identical RNG consumption (streaming re-anchors matrices to its
+    # transfer window, so raw fields differ; the augmented output must not)
+
+    def aug(b):
+        return augment_batch(
+            jnp.asarray(b["canvas"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["m"]), jnp.asarray(b["sizes"]),
+            jnp.asarray(b["interp"]), np.zeros(3), np.ones(3), None,
+            out_hw=(16, 16), with_labels=True, border="constant")
+
+    gathered = gather_part(
+        {k: jnp.asarray(v) for k, v in res.device.items()},
+        {k: jnp.asarray(v) for k, v in part.items()}, with_labels=True)
+    o_stream, o_res = aug(host), aug(gathered)
+    np.testing.assert_allclose(np.asarray(o_res["image"]),
+                               np.asarray(o_stream["image"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o_res["labels"]),
+                                  np.asarray(o_stream["labels"]))
+    np.testing.assert_allclose(np.asarray(o_res["mask"]),
+                               np.asarray(o_stream["mask"]), atol=1e-5)
+
+
+def test_resident_rejects_unstaged_indices(cityscapes_zip):
+    from cutmix_seg_tpu.data.resident import ResidentDataset
+    from cutmix_seg_tpu.parallel.mesh import make_mesh
+
+    ds = sources.CityscapesDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        zip_path=cityscapes_zip)
+    res = ResidentDataset(ds, ds.train_ndx[:3], make_mesh(1))
+    with pytest.raises(KeyError):
+        res.rows(np.asarray([ds.train_ndx[4]]))

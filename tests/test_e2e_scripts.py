@@ -137,6 +137,10 @@ def test_base_params_matches_pre_refactor_golden():
         val_seed=131, save_preds=False, save_model=False, num_workers=4,
         compute_dtype="bfloat16", n_devices=-1, resume=False,
         nan_check_interval=100, seed=0, no_pretrained=True,
+        # round 4: device-resident small-dataset store (data/resident.py) —
+        # 'auto' preserves every committed recipe's semantics (bit-equal
+        # training stream; tests/test_data.py::test_resident_store_matches_streaming)
+        data_on_device="auto",
     )
     run = dict(cons_weight=1.0, conf_thresh=0.97, rampup=-1, num_epochs=3,
                iters_per_epoch=50, batch_size=4, n_sup=8,

@@ -108,3 +108,64 @@ def test_resize_bilinear_matches_torch_half_pixel():
     ref = F.interpolate(t, size=(18, 26), mode="bilinear", align_corners=False)
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_separable_warp_matches_gather_paths():
+    """The MXU-matmul separable warp (axis-aligned crop/scale/flip families)
+    must match the gather warp: images to f32 rounding, labels and coverage
+    exactly (aug/device.py::warp_*_separable)."""
+    import jax.numpy as jnp
+
+    from cutmix_seg_tpu.aug.device import (
+        warp_image_canvas,
+        warp_image_canvas_separable,
+        warp_labels_canvas,
+        warp_labels_canvas_separable,
+    )
+    from cutmix_seg_tpu.aug.params import GeomConfig, sample_geom_single
+
+    rng = np.random.RandomState(0)
+    n, chh, cww, ohw = 6, 70, 80, (33, 31)
+    canvas = np.zeros((n, chh, cww, 3), np.uint8)
+    labels = np.full((n, chh, cww), 255, np.uint8)
+    sizes = np.zeros((n, 2), np.int32)
+    for mode in ("crop", "crop_scale_hung"):
+        geom = GeomConfig(crop_size=ohw, mode=mode, hflip=True, vflip=True)
+        ms = []
+        for k in range(n):
+            h, w = rng.randint(40, chh + 1), rng.randint(40, cww + 1)
+            canvas[k] = 0
+            labels[k] = 255
+            canvas[k, :h, :w] = rng.randint(0, 256, (h, w, 3))
+            labels[k, :h, :w] = rng.randint(0, 21, (h, w))
+            sizes[k] = (h, w)
+            m, interp = sample_geom_single(geom, (h, w), rng, True)
+            assert interp == 1  # these families always sample bilinearly
+            ms.append(m)
+        m = jnp.asarray(np.stack(ms))
+        cv, sz = jnp.asarray(canvas), jnp.asarray(sizes)
+        interp_arr = jnp.ones((n,), jnp.int32)
+        crop_g, val_g = warp_image_canvas(cv, m, sz, interp_arr, ohw,
+                                          "constant")
+        crop_s, val_s = warp_image_canvas_separable(cv, m, sz, ohw)
+        np.testing.assert_allclose(np.asarray(crop_s), np.asarray(crop_g),
+                                   atol=5e-3, err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_g))
+        lab_g = warp_labels_canvas(jnp.asarray(labels), m, sz, ohw)
+        lab_s = warp_labels_canvas_separable(jnp.asarray(labels), m, sz, ohw)
+        np.testing.assert_array_equal(np.asarray(lab_s), np.asarray(lab_g))
+
+
+def test_separable_for_geom_guard():
+    """The diagonal (axis-swapping) flip and the rotation family must stay on
+    the gather path (their matrices are not diagonal)."""
+    from cutmix_seg_tpu.aug.params import GeomConfig
+    from cutmix_seg_tpu.train.common import separable_for_geom
+
+    ok = GeomConfig(crop_size=(8, 8), mode="crop_scale_hung", hflip=True)
+    assert separable_for_geom(ok)
+    assert not separable_for_geom(
+        GeomConfig(crop_size=(8, 8), mode="crop", hvflip=True))
+    assert not separable_for_geom(
+        GeomConfig(crop_size=(8, 8), mode="crop_rotate_scale",
+                   rot_mag_deg=30.0, max_scale=1.1))
