@@ -73,25 +73,29 @@ def _props_np(cfg: BoxMaskConfig, n_masks: int, rng: np.random.RandomState):
     if cfg.prop_by_area:
         mask_props = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes))
         zero = mask_props == 0.0
+        fac = np.sqrt(1.0 / cfg.n_boxes)
         if cfg.random_aspect_ratio:
             y = np.exp(rng.uniform(0.0, 1.0, size=(n_masks, cfg.n_boxes)) * np.log(mask_props))
             x = mask_props / y
+            y = y * fac
+            x = x * fac
         else:
-            y = x = np.sqrt(mask_props)
-        fac = np.sqrt(1.0 / cfg.n_boxes)
-        y = y * fac
-        x = x * fac
+            # reference aliasing quirk: with a fixed aspect ratio y_props and
+            # x_props are THE SAME array there, so its two in-place `*= fac`
+            # statements each apply fac to the shared buffer — fixed-aspect
+            # boxes scale by 1/n_boxes, not sqrt(1/n_boxes)
+            # (mask_gen.py:84-93; verified by the live-reference differential)
+            y = x = np.sqrt(mask_props) * (fac * fac)
         y[zero] = 0
         x[zero] = 0
     else:
-        if cfg.random_aspect_ratio:
-            y = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes))
-            x = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes))
-        else:
-            y = x = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes))
         fac = np.sqrt(1.0 / cfg.n_boxes)
-        y = y * fac
-        x = x * fac
+        if cfg.random_aspect_ratio:
+            y = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes)) * fac
+            x = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes)) * fac
+        else:
+            # same aliasing quirk as above (mask_gen.py:95-101)
+            y = x = rng.uniform(lo, hi, size=(n_masks, cfg.n_boxes)) * (fac * fac)
     return y, x
 
 
@@ -145,20 +149,23 @@ def sample_box_rects(
             y = jnp.exp(u * jnp.log(safe))
             x = safe / y
         else:
-            y = x = jnp.sqrt(props)
+            # fixed aspect scales by 1/n_boxes, not sqrt(1/n_boxes): the
+            # second fac factor lands below — reference aliasing quirk
+            # (mask_gen.py:84-93), see sample_box_rects_np
+            y = x = jnp.sqrt(props) * (1.0 / cfg.n_boxes) ** 0.5
         zero = props == 0.0
         fac = (1.0 / cfg.n_boxes) ** 0.5
         y = jnp.where(zero, 0.0, y * fac)
         x = jnp.where(zero, 0.0, x * fac)
     else:
-        if cfg.random_aspect_ratio:
-            y = jax.random.uniform(k_prop, shape, minval=lo, maxval=hi)
-            x = jax.random.uniform(k_aspect, shape, minval=lo, maxval=hi)
-        else:
-            y = x = jax.random.uniform(k_prop, shape, minval=lo, maxval=hi)
         fac = (1.0 / cfg.n_boxes) ** 0.5
-        y = y * fac
-        x = x * fac
+        if cfg.random_aspect_ratio:
+            y = jax.random.uniform(k_prop, shape, minval=lo, maxval=hi) * fac
+            x = jax.random.uniform(k_aspect, shape, minval=lo, maxval=hi) * fac
+        else:
+            # same aliasing quirk (mask_gen.py:95-101)
+            y = x = jax.random.uniform(
+                k_prop, shape, minval=lo, maxval=hi) * (fac * fac)
 
     hw = jnp.asarray(mask_hw, dtype=jnp.float32)
     sizes = jnp.round(jnp.stack([y, x], axis=2) * hw[None, None, :])
