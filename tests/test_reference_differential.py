@@ -351,3 +351,312 @@ def test_cityscapes_split_bit_equal_reference(reference_env, ref, n_val,
             ri.get_labels_arr(i).astype(np.int32))
         np.testing.assert_array_equal(
             o["ds_src"].get_image(i), np.array(ri.get_image_pil(i)))
+
+
+# ---------------------------------------------------- transform suite / warps
+
+def _test_image(seed, h, w):
+    """Smooth noise image + blobby labels (the reference tests' fixture idea)."""
+    rng = np.random.RandomState(seed)
+    img = rng.uniform(0, 255, size=(h, w, 3))
+    for _ in range(2):  # cheap smoothing so bilinear differences are visible
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)
+               + np.roll(img, -1, 0) + np.roll(img, -1, 1)) / 5.0
+    labels = (img[..., 0] > img[..., 0].mean()).astype(np.uint8) * 3 + \
+        (img[..., 1] > img[..., 1].mean()).astype(np.uint8)
+    return img.astype(np.uint8), labels
+
+
+_MEAN = np.array([0.485, 0.456, 0.406])
+_STD = np.array([0.229, 0.224, 0.225])
+
+
+def _run_reference_single(ref_cv, r_affine, xform, image, labels,
+                          with_xf=False):
+    """Reference chain: geometry (+flip) -> NormalizeToTensor, on the
+    reference's sample-dict protocol.
+
+    ``with_xf`` is only usable for geometry-only chains: the reference's
+    RandomFlip.transform_single passes 1-D flip flags into
+    affine.flip_xyd_matrices, which requires 2-D — a latent reference bug
+    (seg_transforms_cv.py:491-495, affine.py:122-135) its trainers never
+    hit because only the pair-mode aug_mt pipeline carries xf.
+    """
+    sample = {
+        "image_arr": image.copy(),
+        "labels_arr": labels.copy(),
+        "mask_arr": np.full(image.shape[:2], 255, np.uint8),
+    }
+    if with_xf:
+        sample["xf_cv"] = r_affine.identity_xf(1)[0]
+    for t in xform:
+        sample = t.apply(sample)
+    norm = ref_cv.SegCVTransformNormalizeToTensor(_MEAN, _STD)
+    out = norm.apply(sample)
+    return out
+
+
+def _run_ours_single(geom_cfg, image, labels, rng, border, separable):
+    import jax.numpy as jnp
+
+    from cutmix_seg_tpu.aug.device import augment_batch
+    from cutmix_seg_tpu.aug.params import sample_geom_single
+
+    h, w = image.shape[:2]
+    ohw = geom_cfg.crop_size
+    chh = max(h, ohw[0] * 2 + 4)
+    cww = max(w, ohw[1] * 2 + 4)
+    canvas = np.zeros((1, chh, cww, 3), np.uint8)
+    canvas[0, :h, :w] = image
+    lab_canvas = np.full((1, chh, cww), 255, np.uint8)
+    lab_canvas[0, :h, :w] = labels
+    m, interp = sample_geom_single(geom_cfg, (h, w), rng, True)
+    out = augment_batch(
+        jnp.asarray(canvas), jnp.asarray(lab_canvas),
+        jnp.asarray(m[None]), jnp.asarray(np.array([[h, w]], np.int32)),
+        jnp.asarray(np.array([interp], np.int32)),
+        _MEAN, _STD, None, out_hw=ohw, with_labels=True, border=border,
+        separable=separable)
+    return m, out
+
+
+@pytest.fixture(scope="module")
+def ref_cv(ref):
+    from datapipe import affine as r_affine
+    from datapipe import seg_transforms_cv as cv_mod
+
+    return types.SimpleNamespace(cv=cv_mod, affine=r_affine)
+
+
+@pytest.mark.parametrize("mode,separable", [
+    ("crop", False), ("crop", True),
+    ("crop_scale_hung", False), ("crop_scale_hung", True),
+])
+def test_transform_single_matches_reference_cv(ref_cv, mode, separable):
+    """Matrices bit-compare against the reference's composed xf_cv; warped
+    pixels/labels/valid-mask compare against the reference's actual cv2
+    output (uint8 fixed-point resize => small tolerance; plain crop mode is
+    exact).  Covers both the gather and the MXU-separable device paths.
+    (seg_transforms_cv.py:103-166,169-303,452-538,587-660)"""
+    from cutmix_seg_tpu.aug.params import GeomConfig
+
+    image, labels = _test_image(3, 120, 150)
+    crop = (64, 57)
+    geom = GeomConfig(crop_size=crop, mode=mode, hflip=True, vflip=True)
+
+    import dataclasses
+
+    geom_noflip = dataclasses.replace(geom, hflip=False, vflip=False)
+
+    def make_geo(r_rng):
+        if mode == "crop":
+            return ref_cv.cv.SegCVTransformRandomCrop(crop, None, rng=r_rng)
+        return ref_cv.cv.SegCVTransformRandomCropScaleHung(
+            crop, None, rng=r_rng)
+
+    for seed in (0, 1, 2, 3, 4):
+        # matrices: geometry-only chain carries xf (the reference's flip
+        # single+xf path is broken — see _run_reference_single)
+        ref_geo = _run_reference_single(
+            ref_cv.cv, ref_cv.affine,
+            [make_geo(np.random.RandomState(100 + seed))], image, labels,
+            with_xf=True)
+        m_geo, _ = _run_ours_single(
+            geom_noflip, image, labels, np.random.RandomState(100 + seed),
+            "constant", separable)
+        np.testing.assert_allclose(
+            m_geo.astype(np.float64), ref_geo["xf_cv"], atol=1e-4,
+            err_msg=f"xf mismatch mode={mode} seed={seed}")
+
+        # pixels/labels/mask: full chain incl. flips, no xf
+        r_rng = np.random.RandomState(100 + seed)
+        o_rng = np.random.RandomState(100 + seed)
+        geo_t = make_geo(r_rng)
+        flip_t = ref_cv.cv.SegCVTransformRandomFlip(
+            True, True, False, rng=r_rng)
+        ref_out = _run_reference_single(
+            ref_cv.cv, ref_cv.affine, [geo_t, flip_t], image, labels)
+        m, ours = _run_ours_single(geom, image, labels, o_rng, "constant",
+                                   separable)
+
+        o_img = np.asarray(ours["image"])[0]           # HWC standardised
+        r_img = ref_out["image"].transpose(1, 2, 0)    # CHW -> HWC
+        o_lab = np.asarray(ours["labels"])[0]
+        r_lab = ref_out["labels"][0]
+        o_mask = np.asarray(ours["mask"])[0, :, :, 0]
+        r_mask = ref_out["mask"][0]
+        if mode == "crop":
+            # integer-coordinate crop: exact
+            np.testing.assert_allclose(o_img, r_img, atol=1e-5)
+            np.testing.assert_array_equal(o_lab, r_lab)
+            np.testing.assert_allclose(o_mask, r_mask, atol=1e-5)
+        else:
+            # cv2 resizes uint8 in fixed point; our warp is float. ~3/255
+            # per-pixel on the standardised scale, tiny mean error, with a
+            # <0.2% long tail of boundary taps reaching ~7/255.
+            diff = np.abs(o_img - r_img)
+            np.testing.assert_allclose(o_img, r_img, atol=0.16)
+            assert (diff > 0.09).mean() < 0.002
+            assert diff.mean() < 0.02
+            np.testing.assert_allclose(o_mask, r_mask, atol=0.05)
+            # LABEL QUIRK (documented divergence): the reference resizes
+            # labels with cv2 INTER_NEAREST, whose non-centred nearest
+            # mapping shifts label taps up to half a SOURCE pixel against
+            # the centred geometry its own composed xf_cv records and its
+            # IMAGE resize (INTER_LINEAR, centred) uses — the reference's
+            # labels are geometrically inconsistent with its images by that
+            # much (at f_scale=0.5 the shift is a full source pixel). We
+            # warp labels consistently with the matrix instead. The bound
+            # that must hold: every reference label value comes from within
+            # one SOURCE pixel of our nearest tap (f64 geometry).
+            inv = np.linalg.inv(np.vstack([m.astype(np.float64),
+                                           [0.0, 0.0, 1.0]]))
+            xs_d, ys_d = np.meshgrid(np.arange(crop[1]), np.arange(crop[0]))
+            sx = inv[0, 0] * xs_d + inv[0, 1] * ys_d + inv[0, 2]
+            sy = inv[1, 0] * xs_d + inv[1, 1] * ys_d + inv[1, 2]
+            tx = np.floor(sx + 0.5).astype(int)
+            ty = np.floor(sy + 0.5).astype(int)
+            h_img, w_img = labels.shape
+            ok = np.zeros(o_lab.shape, bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    cy = ty + dy
+                    cx = tx + dx
+                    inb = (cy >= 0) & (cy < h_img) & (cx >= 0) & (cx < w_img)
+                    vals = np.where(
+                        inb, labels[np.clip(cy, 0, h_img - 1),
+                                    np.clip(cx, 0, w_img - 1)], 255)
+                    ok |= vals == r_lab
+            assert (~ok).mean() < 0.005, \
+                f"reference labels beyond one source pixel (seed={seed})"
+
+
+def test_transform_pair_matrices_match_reference_cv(ref_cv):
+    """Pair mode (augmentation-driven consistency): both elements' composed
+    matrices must match the reference's xf_cv pair, Hung pair scheme
+    (seg_transforms_cv.py:232-303) + pair flips (:499-538)."""
+    from cutmix_seg_tpu.aug.params import GeomConfig, sample_geom_pair
+
+    image, labels = _test_image(5, 110, 130)
+    crop = (48, 48)
+    geom = GeomConfig(crop_size=crop, mode="crop_scale_hung",
+                      crop_offset=(16, 16), hflip=True)
+
+    for seed in (0, 1, 2):
+        r_rng = np.random.RandomState(200 + seed)
+        o_rng = np.random.RandomState(200 + seed)
+        geo_t = ref_cv.cv.SegCVTransformRandomCropScaleHung(
+            crop, (16, 16), rng=r_rng)
+        flip_t = ref_cv.cv.SegCVTransformRandomFlip(True, False, False,
+                                                    rng=r_rng)
+        sample = {
+            "image_arr": image.copy(),
+            "labels_arr": labels.copy(),
+            "mask_arr": np.full(image.shape[:2], 255, np.uint8),
+            "xf_cv": ref_cv.affine.identity_xf(1)[0],
+        }
+        pair = ref_cv.cv.SegTransformToPair().apply(sample) \
+            if hasattr(ref_cv.cv, "SegTransformToPair") else None
+        if pair is None:
+            from datapipe import seg_transforms
+
+            pair = seg_transforms.SegTransformToPair().apply(sample)
+        pair = geo_t.apply(pair)
+        pair = flip_t.apply(pair)
+
+        (m0, i0), (m1, i1) = sample_geom_pair(
+            geom, image.shape[:2], o_rng, True)
+        np.testing.assert_allclose(
+            m0.astype(np.float64), pair["sample0"]["xf_cv"], atol=1e-4,
+            err_msg=f"m0 seed={seed}")
+        np.testing.assert_allclose(
+            m1.astype(np.float64), pair["sample1"]["xf_cv"], atol=1e-4,
+            err_msg=f"m1 seed={seed}")
+
+
+def test_rotate_scale_transform_matches_reference_cv(ref_cv):
+    """crop_rotate_scale family (ISIC recipe): reference warps with
+    cv2.warpAffine (reflect101 border for the image, constant 255 for
+    labels; nearest for both when labels ride along) — compare our gather
+    path's output (seg_transforms_cv.py:306-450)."""
+    from cutmix_seg_tpu.aug.params import GeomConfig
+
+    image, labels = _test_image(7, 100, 120)
+    crop = (64, 64)
+    geom = GeomConfig(crop_size=crop, mode="crop_rotate_scale",
+                      rot_mag_deg=45.0, max_scale=1.1, hflip=True,
+                      vflip=True, hvflip=True)
+
+    import dataclasses
+
+    geom_noflip = dataclasses.replace(geom, hflip=False, vflip=False,
+                                      hvflip=False)
+    agree_img, agree_lab, n_px = 0, 0, 0
+    for seed in (0, 1, 2, 3, 4):
+        # matrices: geometry-only chain with xf (flip single+xf is broken
+        # in the reference — see _run_reference_single)
+        ref_geo = _run_reference_single(
+            ref_cv.cv, ref_cv.affine,
+            [ref_cv.cv.SegCVTransformRandomCropRotateScale(
+                crop, None, rot_mag=45.0, max_scale=1.1, uniform_scale=True,
+                rng=np.random.RandomState(300 + seed))],
+            image, labels, with_xf=True)
+        m_geo, _ = _run_ours_single(
+            geom_noflip, image, labels, np.random.RandomState(300 + seed),
+            "reflect101", separable=False)
+        np.testing.assert_allclose(
+            m_geo.astype(np.float64), ref_geo["xf_cv"], atol=1e-4,
+            err_msg=f"xf mismatch seed={seed}")
+
+        r_rng = np.random.RandomState(300 + seed)
+        o_rng = np.random.RandomState(300 + seed)
+        geo_t = ref_cv.cv.SegCVTransformRandomCropRotateScale(
+            crop, None, rot_mag=45.0, max_scale=1.1, uniform_scale=True,
+            rng=r_rng)
+        flip_t = ref_cv.cv.SegCVTransformRandomFlip(True, True, True,
+                                                    rng=r_rng)
+        ref_out = _run_reference_single(
+            ref_cv.cv, ref_cv.affine, [geo_t, flip_t], image, labels)
+        m, ours = _run_ours_single(geom, image, labels, o_rng, "reflect101",
+                                   separable=False)
+        o_img = np.asarray(ours["image"])[0]
+        r_img = ref_out["image"].transpose(1, 2, 0)
+        o_lab = np.asarray(ours["labels"])[0]
+        r_lab = ref_out["labels"][0]
+        # nearest-vs-nearest: identical except fixed-point boundary taps
+        agree_img += (np.abs(o_img - r_img) < 1e-3).mean()
+        agree_lab += (o_lab == r_lab).mean()
+        n_px += 1
+    assert agree_img / n_px > 0.95, agree_img / n_px
+    assert agree_lab / n_px > 0.95, agree_lab / n_px
+
+
+def test_cv_to_grid_matches_reference_converter(ref_cv):
+    """The cv-pixel-space -> torch grid-sample coordinate converter is the
+    reference's most error-prone component (its whole test suite exists for
+    it; SURVEY hard-part #1). Compare our cv_to_grid against the reference's
+    executable cv_to_torch on random affine matrices, square and non-square,
+    with and without distinct src sizes (datapipe/affine.py:185-232)."""
+    from cutmix_seg_tpu.aug import affine as our_affine
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        n = 3
+        m = np.zeros((n, 2, 3))
+        th = rng.uniform(-1.2, 1.2, n)
+        s = rng.uniform(0.5, 2.0, (n, 2))
+        m[:, 0, 0] = np.cos(th) * s[:, 0]
+        m[:, 0, 1] = -np.sin(th) * s[:, 1]
+        m[:, 1, 0] = np.sin(th) * s[:, 0]
+        m[:, 1, 1] = np.cos(th) * s[:, 1]
+        m[:, :, 2] = rng.uniform(-30, 30, (n, 2))
+        dst = (int(rng.randint(8, 60)), int(rng.randint(8, 60)))
+        src = (int(rng.randint(8, 60)), int(rng.randint(8, 60)))
+
+        r_same = ref_cv.affine.cv_to_torch(m, dst)
+        o_same = our_affine.cv_to_grid(m, dst)
+        np.testing.assert_allclose(o_same, r_same, rtol=1e-10, atol=1e-12)
+
+        r_diff = ref_cv.affine.cv_to_torch(m, dst, src)
+        o_diff = our_affine.cv_to_grid(m, dst, src)
+        np.testing.assert_allclose(o_diff, r_diff, rtol=1e-10, atol=1e-12)
