@@ -57,6 +57,21 @@ def ref():
 
         sk.img_as_float = img_as_float
         sys.modules["skimage"] = sk
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        # the reference's deeplab2 imports torchvision.models.resnet at
+        # module level but ResNetDeepLab itself never uses it (only the
+        # pretrained-download factories do) — an empty stub unblocks
+        # executing the model class
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvr = types.ModuleType("torchvision.models.resnet")
+        tv.models = tvm
+        tvm.resnet = tvr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+        sys.modules["torchvision.models.resnet"] = tvr
 
     import evaluation
     import lr_schedules
@@ -660,3 +675,246 @@ def test_cv_to_grid_matches_reference_converter(ref_cv):
         r_diff = ref_cv.affine.cv_to_torch(m, dst, src)
         o_diff = our_affine.cv_to_grid(m, dst, src)
         np.testing.assert_allclose(o_diff, r_diff, rtol=1e-10, atol=1e-12)
+
+
+# ------------------------------------------- trainer-trajectory differential
+
+@pytest.mark.slow
+def test_mask_mt_step_trajectory_matches_reference_trainer(ref):
+    """THE trainer differential: the reference's CutMix mean-teacher inner
+    loop — executed with the reference's OWN model class (ResNetDeepLab on a
+    reduced layer config), its EMAWeightOptimizer, torch Adam with its
+    two-LR param groups, and the trainer's literal loss/gate/mix math
+    (train_seg_semisup_mask_mt.py:266-275,287-467) — against this
+    framework's single fused step, from IDENTICAL imported initial weights,
+    identical batches and identical CutMix masks, for 8 optimizer steps.
+
+    Losses, conf rates and final parameters must track to f32 tolerance;
+    this proves end-to-end that one jitted XLA program computes the same
+    training trajectory as the reference's many-kernel torch loop."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    import jax
+    import jax.numpy as jnp
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import (
+        ModelState,
+        OptimizerConfig,
+        TrainState,
+        create_train_state,
+    )
+    from cutmix_seg_tpu.masks.box_mask import sample_masks
+    from cutmix_seg_tpu.models import torch_import
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+    from cutmix_seg_tpu.models.common import SegModel
+    from cutmix_seg_tpu.semisup.mask_mt import (
+        MaskConsistencyConfig,
+        make_mask_mt_step,
+    )
+
+    C, layers, HW, B = 4, (1, 1, 1, 1), 48, 3
+    LR, ALPHA, CW, CONF = 2e-3, 0.99, 1.0, 0.25
+    N_STEPS = 8
+
+    # ---- reference side: its own model class, reduced depth ----
+    torch.manual_seed(0)
+    stu_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    tea_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    for p in tea_t.parameters():
+        p.requires_grad = False
+    # NOTE: the raw reference optimizer construction
+    # (train_seg_semisup_mask_mt.py:90-92) passes pretrained_parameters()
+    # UNDEDUPED — deep backbone params appear 3-4x (recursive modules() x
+    # recursive parameters(); deeplab2.py:215-230) and torch applies the
+    # Adam update once PER ENTRY. That accidental 3-4x update multiplier is
+    # pinned by test_reference_optimizer_duplicate_param_quirk below and
+    # consciously NOT reproduced (this framework updates each parameter
+    # once); the trajectory comparison dedupes the reference side.
+    seen = set()
+    pre_dedup = [p for p in stu_t.pretrained_parameters()
+                 if id(p) not in seen and not seen.add(id(p))]
+    student_optim = torch.optim.Adam([
+        dict(params=pre_dedup, lr=LR * 0.1),
+        dict(params=stu_t.new_parameters(), lr=LR)])
+    teacher_optim = ref.ema.EMAWeightOptimizer(tea_t, stu_t, ALPHA)
+    stu_t.train()
+    tea_t.train()
+    stu_t.freeze_batchnorm()
+    tea_t.freeze_batchnorm()
+    clf_crossent_loss = nn.CrossEntropyLoss(ignore_index=255)
+
+    # ---- our side: same weights via the torch importer ----
+    model = SegModel(
+        name="deeplab2_tiny", module=DeepLab2(num_classes=C, layers=layers),
+        mean=np.zeros(3), std=np.ones(3), block_size=(1, 1),
+        param_label=_param_label, load_pretrained=None)
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=LR,
+        lr_schedule=make_lr_schedule("none", LR, 1000))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(7), input_hw=(HW, HW),
+        mean_teacher=True, pretrained=False)
+
+    # .copy() is load-bearing: torch .numpy() shares memory with the live
+    # tensors and JAX CPU arrays can alias numpy buffers — without it the
+    # torch optimizer's in-place updates would mutate OUR parameters
+    sd = {k: v.numpy().copy() for k, v in stu_t.state_dict().items()}
+    params_u, stats_u = torch_import.map_torch_resnet(sd)
+    head_u = torch_import.map_hung_deeplab_classifier(sd)
+    variables = {"params": state.student.params,
+                 "batch_stats": state.student.batch_stats}
+    variables, n1, skipped1 = torch_import.merge_updates(
+        variables, {"backbone": params_u}, {"backbone": stats_u})
+    variables, n2, skipped2 = torch_import.merge_updates(
+        variables, {"classifier": head_u}, {})
+    assert skipped1 == 0 and skipped2 == 0
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = TrainState(
+        step=state.step,
+        student=ModelState(params=params, batch_stats=stats),
+        teacher=ModelState(params=copy(params), batch_stats=copy(stats)),
+        opt_state=tx.init(params),
+        rng=state.rng,
+    )
+
+    cfg = MaskConsistencyConfig(
+        mask_mode="mix", cons_loss_fn="var", cons_weight=CW,
+        conf_thresh=CONF, conf_per_pixel=False, freeze_bn=True,
+        mean_teacher=True, teacher_alpha=ALPHA, pallas_cutmix="off")
+    step = jax.jit(make_mask_mt_step(model, tx, cfg))
+
+    rng = np.random.RandomState(0)
+
+    def rand_batch():
+        b = {
+            "sup_x": rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32),
+            "sup_y": rng.randint(0, C, (B, HW, HW)).astype(np.int32),
+        }
+        b["sup_y"][b["sup_y"] == 0] = np.where(
+            rng.uniform(size=(b["sup_y"] == 0).sum()) < 0.3, 255, 0)
+        for k in ("ux0", "ux1"):
+            x = rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32)
+            b[f"{k}_tea"] = x
+            b[f"{k}_stu"] = x
+        for k in ("um0", "um1"):
+            um = np.ones((B, HW, HW, 1), np.float32)
+            y0, x0 = rng.randint(0, HW, 2)
+            um[:, y0:, x0:] = 0.0  # partial validity exercises loss_mask
+            b[k] = um
+        return b
+
+    t = lambda a: torch.tensor(np.transpose(a, (0, 3, 1, 2)))
+
+    ref_sup, ref_cons, ref_conf = [], [], []
+    our_sup, our_cons, our_conf = [], [], []
+    for it in range(N_STEPS):
+        batch = rand_batch()
+        # our step samples its mask from state.rng's split — reproduce it so
+        # the reference loop consumes the IDENTICAL masks
+        k_mask = jax.random.split(state.rng, 5)[1]
+        masks = np.asarray(sample_masks(cfg.box, k_mask, B, (HW, HW),
+                                        dtype=jnp.float32))  # (B, H, W, 1)
+
+        # ---- the reference's literal iteration ----
+        student_optim.zero_grad()
+        logits_sup = stu_t(t(batch["sup_x"]))
+        sup_loss = clf_crossent_loss(
+            logits_sup, torch.tensor(batch["sup_y"].astype(np.int64)))
+        sup_loss.backward()
+
+        m_t = torch.tensor(np.transpose(masks, (0, 3, 1, 2)))
+        ux_mixed = t(batch["ux0_stu"]) * (1 - m_t) + t(batch["ux1_stu"]) * m_t
+        um_mixed = (torch.tensor(np.transpose(batch["um0"], (0, 3, 1, 2)))
+                    * (1 - m_t)
+                    + torch.tensor(np.transpose(batch["um1"], (0, 3, 1, 2)))
+                    * m_t)
+        with torch.no_grad():
+            logits_u0 = tea_t(t(batch["ux0_tea"])).detach()
+            logits_u1 = tea_t(t(batch["ux1_tea"])).detach()
+        logits_stu = stu_t(ux_mixed)
+        logits_tea = logits_u0 * (1 - m_t) + logits_u1 * m_t
+        prob_tea = F.softmax(logits_tea, dim=1)
+        prob_stu = F.softmax(logits_stu, dim=1)
+        conf_tea = prob_tea.max(dim=1)[0]
+        conf_mask = (conf_tea >= CONF).float()[:, None, :, :]
+        ref_conf.append(float(conf_mask.mean()))
+        loss_mask = um_mixed * conf_mask.mean()
+        delta = prob_stu - prob_tea
+        cons = (delta * delta).sum(dim=1, keepdim=True)
+        cons = (cons * loss_mask).mean()
+        (cons * CW).backward()
+        student_optim.step()
+        teacher_optim.step()
+        ref_sup.append(float(sup_loss.detach()))
+        ref_cons.append(float(cons.detach()))
+
+        # ---- our fused step on the same batch ----
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()},
+                              jnp.float32(1.0))
+        our_sup.append(float(metrics["sup_loss"]))
+        our_cons.append(float(metrics["cons_loss"]))
+        our_conf.append(float(metrics["conf_rate"]))
+
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_cons, ref_cons, rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(our_conf, ref_conf, rtol=0, atol=2e-3)
+
+    # final parameters track: student classifier + a deep backbone conv +
+    # the EMA teacher's copies
+    fin = stu_t.state_dict()
+    our_p = state.student.params
+    our_t = state.teacher.params
+    ref_w = fin["layer5.conv2d_list.0.weight"].numpy()
+    our_w = np.asarray(
+        our_p["classifier"]["aspp0"]["kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(our_w, ref_w, atol=5e-4)
+    ref_c1 = fin["conv1.weight"].numpy()
+    our_c1 = np.asarray(
+        our_p["backbone"]["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(our_c1, ref_c1, atol=5e-4)
+    tea_fin = tea_t.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(our_t["classifier"]["aspp0"]["kernel"]).transpose(3, 2, 0, 1),
+        tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=5e-4)
+
+
+def test_reference_optimizer_duplicate_param_quirk(ref):
+    """Documents (by execution) a reference behaviour consciously NOT
+    reproduced: pretrained_parameters() iterates modules() recursively and
+    yields each module's parameters() (also recursive), so deep backbone
+    parameters appear once per ancestor module in the Adam group
+    (deeplab2.py:215-230, train_seg_semisup_mask_mt.py:90-92) — and torch
+    applies the update once PER ENTRY (pytorch#40967). The reference
+    therefore trained its headline backbone with an effective 3-4x update
+    multiplier. This framework updates every parameter exactly once."""
+    import collections
+
+    import torch
+    from architectures import deeplab2 as r_dl
+
+    torch.manual_seed(0)
+    net = r_dl.ResNetDeepLab(r_dl.Bottleneck, [1, 1, 1, 1], 4, None, None)
+    pre = list(net.pretrained_parameters())
+    mult = collections.Counter(
+        collections.Counter(id(p) for p in pre).values())
+    assert dict(mult) == {1: 1, 3: 12, 4: 4}  # conv1 once; stage convs 3-4x
+    new = list(net.new_parameters())
+    assert len(new) == len({id(p) for p in new})  # head params are unique
+
+    # torch really does apply duplicated entries multiple times
+    p = torch.nn.Parameter(torch.zeros(2))
+    opt = torch.optim.Adam([dict(params=[p, p], lr=0.1)])
+    p.grad = torch.ones(2)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        opt.step()
+    np.testing.assert_allclose(p.detach().numpy(), [-0.2, -0.2], atol=1e-6)
