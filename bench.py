@@ -159,6 +159,15 @@ def main():
                 "value": round(img_per_sec_per_chip, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC, 3),
+                # the denominator is an ESTIMATE of the reference's GPU-era
+                # rate (no GPU exists here); the measured anchor is the
+                # same-host torch-CPU reference timing in
+                # results_evidence/reference_baseline/baseline.json
+                "vs_baseline_basis": (
+                    f"estimated reference GPU throughput "
+                    f"{REFERENCE_IMG_PER_SEC} img/s; measured torch-CPU "
+                    "reference anchor in results_evidence/reference_baseline"
+                ),
             }
         )
     )

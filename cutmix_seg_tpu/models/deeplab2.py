@@ -72,6 +72,7 @@ class DeepLab2(nn.Module):
     layers: tuple = (3, 4, 23, 3)
     aspp_branches_used: int = 2
     dtype: Any = None
+    dilated_impl: str = "direct"  # 3x3 dilated-conv lowering (resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool, freeze_bn: bool = True):
@@ -82,6 +83,7 @@ class DeepLab2(nn.Module):
             strides=(1, 2, 1, 1),
             dilations=(1, 1, 2, 4),
             dtype=self.dtype,
+            dilated_impl=self.dilated_impl,
             name="backbone",
         )(x.astype(self.dtype or x.dtype), use_running_average)
         logits = ASPPSum(

@@ -29,6 +29,30 @@ from cutmix_seg_tpu.models.common import batch_norm, max_pool_ceil
 conv_init = nn.initializers.normal(stddev=0.01)
 
 
+def _space_to_batch(x, d: int):
+    """(B, H, W, C) -> (B*d*d, ceil(H/d), ceil(W/d), C): split the spatial
+    grid into d x d dilation phases (zero-padding the remainder)."""
+    import jax.numpy as jnp
+
+    b, h, w, c = x.shape
+    hp = -(-h // d) * d
+    wp = -(-w // d) * d
+    x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    x = x.reshape(b, hp // d, d, wp // d, d, c)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b * d * d, hp // d, wp // d, c)
+
+
+def _batch_to_space(x, d: int, out_hw):
+    """Inverse of _space_to_batch, sliced back to the original extent."""
+    bd, hq, wq, c = x.shape
+    b = bd // (d * d)
+    x = x.reshape(b, d, d, hq, wq, c)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    x = x.reshape(b, hq * d, wq * d, c)
+    return x[:, : out_hw[0], : out_hw[1]]
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -37,6 +61,11 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     stride_on_conv2: bool = False  # torchvision V1.5 vs Caffe V1 placement
     dtype: Any = None
+    # dilated 3x3 lowering: 'direct' (kernel_dilation, XLA's native path) or
+    # 's2b' (space-to-batch: d*d dilation phases batched through a dense
+    # 3x3 conv — same math/params, different TPU tiling; perf experiment
+    # knob, see scripts/space_to_batch_probe.py)
+    dilated_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
@@ -47,9 +76,21 @@ class Bottleneck(nn.Module):
                     kernel_init=conv_init, dtype=self.dtype, name="conv1")(x)
         y = batch_norm(use_running_average, "bn1", self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), strides=s2, padding=self.conv2_dilation,
-                    kernel_dilation=self.conv2_dilation, use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype, name="conv2")(y)
+        d = self.conv2_dilation
+        conv2 = nn.Conv(self.planes, (3, 3), strides=s2,
+                        padding=1 if (self.dilated_impl == "s2b" and d > 1
+                                      and s2 == 1) else d,
+                        kernel_dilation=1 if (self.dilated_impl == "s2b"
+                                              and d > 1 and s2 == 1) else d,
+                        use_bias=False, kernel_init=conv_init,
+                        dtype=self.dtype, name="conv2")
+        if self.dilated_impl == "s2b" and d > 1 and s2 == 1:
+            # phase p's zero pad corresponds exactly to the dilated conv's
+            # out-of-extent taps, so the result equals the direct lowering
+            hw = y.shape[1:3]
+            y = _batch_to_space(conv2(_space_to_batch(y, d)), d, hw)
+        else:
+            y = conv2(y)
         y = batch_norm(use_running_average, "bn2", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
@@ -72,6 +113,7 @@ class ResNetBackbone(nn.Module):
     dilations: Sequence[int] = (1, 1, 2, 4)
     style: str = "deeplab2"  # or 'torchvision'
     dtype: Any = None
+    dilated_impl: str = "direct"  # see Bottleneck.dilated_impl
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
@@ -109,6 +151,7 @@ class ResNetBackbone(nn.Module):
                     has_downsample=first,
                     stride_on_conv2=tv,
                     dtype=self.dtype,
+                    dilated_impl=self.dilated_impl,
                     name=f"layer{li}_{bi}",
                 )(y, use_running_average)
             prev_dilation = d

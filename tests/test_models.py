@@ -208,3 +208,22 @@ def test_pspnet_shapes_and_adaptive_pool():
     v = m.init(jax.random.PRNGKey(0), xin, train=False)
     y = m.apply(v, xin, train=False)
     assert y.shape == (1, 33, 33, 4)
+
+
+def test_space_to_batch_dilated_lowering_matches_direct():
+    """models/resnet.py dilated_impl='s2b': the space-to-batch lowering of
+    the dilated 3x3 convs must share the parameter tree and match the direct
+    lowering numerically (perf experiment knob; scripts/space_to_batch_probe)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2
+
+    x = np.random.RandomState(0).normal(0, 1, (2, 41, 41, 3)).astype(np.float32)
+    m_direct = DeepLab2(num_classes=5, layers=(1, 1, 2, 1))
+    m_s2b = DeepLab2(num_classes=5, layers=(1, 1, 2, 1), dilated_impl="s2b")
+    v = m_direct.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    o_direct = m_direct.apply(v, jnp.asarray(x), train=False)
+    o_s2b = m_s2b.apply(v, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(o_s2b), np.asarray(o_direct),
+                               atol=1e-5)
