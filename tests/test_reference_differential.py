@@ -918,3 +918,93 @@ def test_reference_optimizer_duplicate_param_quirk(ref):
         warnings.simplefilter("ignore")
         opt.step()
     np.testing.assert_allclose(p.detach().numpy(), [-0.2, -0.2], atol=1e-6)
+
+
+@pytest.fixture
+def reference_env_more(tmp_path, ref, monkeypatch):
+    """CamVid (dir/annot-dir layout) + ISIC (x/y + rgb_mean_std.pkl) zips
+    wired into both settings systems."""
+    rng = np.random.RandomState(1)
+    cam = tmp_path / "CamVidData.zip"
+    with zipfile.ZipFile(cam, "w") as zf:
+        for split, n in (("train", 7), ("val", 3), ("test", 2)):
+            for i in range(n):
+                img = rng.randint(0, 255, (16, 24, 3), dtype=np.uint8)
+                lab = rng.randint(0, 12, (16, 24), dtype=np.uint8)
+                zf.writestr(f"{split}/s{i}.png", _png_bytes(img))
+                zf.writestr(f"{split}annot/s{i}.png", _png_bytes(lab))
+    isic = tmp_path / "isic2017_segmentation.zip"
+    with zipfile.ZipFile(isic, "w") as zf:
+        for split, n in (("train", 8), ("val", 4)):
+            for i in range(n):
+                img = rng.randint(0, 255, (20, 20, 3), dtype=np.uint8)
+                lab = (rng.uniform(size=(20, 20)) * 255).astype(np.uint8)
+                zf.writestr(f"{split}/img{i}_x.png", _png_bytes(img))
+                zf.writestr(f"{split}/img{i}_y.png", _png_bytes(lab))
+        zf.writestr("rgb_mean_std.pkl", pickle.dumps(
+            {"rgb_mean": np.array([0.5, 0.4, 0.3]),
+             "rgb_std": np.array([0.2, 0.2, 0.2])}))
+    cfg = tmp_path / "semantic_segmentation.cfg"
+    cfg.write_text(f"[paths]\ncamvid = {cam}\nisic2017 = {isic}\n")
+
+    import settings as ref_settings
+
+    monkeypatch.setattr(ref_settings, "_CONFIG_PATH", str(cfg))
+    monkeypatch.setattr(ref_settings, "_config__", None)
+    monkeypatch.setattr(ref_settings, "dnnlib", None)
+    monkeypatch.setenv("CUTMIX_SEG_CONFIG", str(cfg))
+    from cutmix_seg_tpu.data import settings as our_settings
+
+    monkeypatch.setattr(our_settings, "_config", None)
+    yield tmp_path
+    monkeypatch.setattr(our_settings, "_config", None)
+
+
+@pytest.mark.parametrize("n_val", [-1, 2])
+def test_camvid_split_bit_equal_reference(reference_env_more, ref, n_val):
+    """CamVid: dir/annot-dir zip layout, official train/val/test splits,
+    n_val SUBSAMPLES val (no holdout carving), labels 11 -> 255, median-freq
+    class weights (camvid_dataset.py:21-79)."""
+    from datapipe import datasets as ref_datasets
+
+    from cutmix_seg_tpu.data import datasets as our_datasets
+
+    r = ref_datasets.load_dataset("camvid", n_val, 131, 3, -1, 12345, None)
+    o = our_datasets.load_dataset("camvid", n_val, 131, 3, -1, 12345, None)
+    for k in ("sup_ndx", "unsup_ndx", "val_ndx_tgt", "test_ndx_tgt"):
+        np.testing.assert_array_equal(o[k], r[k], err_msg=k)
+    np.testing.assert_allclose(o["ds_src"].class_weights,
+                               r["ds_src"].class_weights, rtol=1e-12)
+    ri = r["ds_src"].dataset(labels=True, mask=False, xf=False,
+                             pipeline_type="cv")
+    i = int(r["sup_ndx"][0])
+    np.testing.assert_array_equal(o["ds_src"].get_labels(i),
+                                  ri.get_labels_arr(i).astype(np.int32))
+    np.testing.assert_array_equal(o["ds_src"].get_image(i),
+                                  np.array(ri.get_image_pil(i)))
+
+
+@pytest.mark.parametrize("n_val", [-1, 3])
+def test_isic_split_bit_equal_reference(reference_env_more, ref, n_val):
+    """ISIC2017: x/y zip, img>=127 binary labels, per-dataset mean/std from
+    rgb_mean_std.pkl, holdout semantics (isic2017_dataset.py:31-90)."""
+    from datapipe import datasets as ref_datasets
+
+    from cutmix_seg_tpu.data import datasets as our_datasets
+
+    r = ref_datasets.load_dataset("isic2017", n_val, 131, 4, -1, 12345, None)
+    o = our_datasets.load_dataset("isic2017", n_val, 131, 4, -1, 12345, None)
+    for k in ("sup_ndx", "unsup_ndx", "val_ndx_tgt"):
+        np.testing.assert_array_equal(o[k], r[k], err_msg=k)
+    if r["test_ndx_tgt"] is None:
+        assert o["test_ndx_tgt"] is None
+    else:
+        np.testing.assert_array_equal(o["test_ndx_tgt"], r["test_ndx_tgt"])
+    np.testing.assert_allclose(np.asarray(o["ds_src"].get_mean_std()),
+                               np.asarray(r["ds_src"].get_mean_std()),
+                               rtol=1e-12)
+    ri = r["ds_src"].dataset(labels=True, mask=False, xf=False,
+                             pipeline_type="cv")
+    i = int(r["sup_ndx"][0])
+    np.testing.assert_array_equal(o["ds_src"].get_labels(i),
+                                  ri.get_labels_arr(i).astype(np.int32))
