@@ -1008,3 +1008,63 @@ def test_isic_split_bit_equal_reference(reference_env_more, ref, n_val):
     i = int(r["sup_ndx"][0])
     np.testing.assert_array_equal(o["ds_src"].get_labels(i),
                                   ri.get_labels_arr(i).astype(np.int32))
+
+
+def test_consistency_loss_menu_matches_reference_formulas(ref):
+    """The five consistency losses vs the reference trainer's literal inline
+    formulas (train_seg_semisup_mask_mt.py:428-448), executing the
+    reference's own robust_binary_crossentropy and torch's F.* ops."""
+    import torch
+    import torch.nn.functional as F
+
+    from architectures import network_architectures
+
+    from cutmix_seg_tpu.semisup.losses import consistency_loss_per_pixel
+
+    rng = np.random.RandomState(0)
+    n, h, w, c = 2, 9, 11, 5
+    ls = rng.normal(0, 2, (n, h, w, c)).astype(np.float32)
+    lt = rng.normal(0, 2, (n, h, w, c)).astype(np.float32)
+    t_ls = torch.tensor(np.transpose(ls, (0, 3, 1, 2)))
+    t_lt = torch.tensor(np.transpose(lt, (0, 3, 1, 2)))
+    prob_stu = F.softmax(t_ls, dim=1)
+    prob_tea = F.softmax(t_lt, dim=1)
+    root_c = float(np.sqrt(c))
+
+    def ref_loss(name):
+        if name == "var":
+            d = prob_stu - prob_tea
+            out = (d * d).sum(dim=1, keepdim=True)
+        elif name == "logits_var":
+            d = t_ls - t_lt
+            out = (d * d).sum(dim=1, keepdim=True) / root_c
+        elif name == "logits_smoothl1":
+            out = F.smooth_l1_loss(t_ls, t_lt, reduction="none")
+            out = out.sum(dim=1, keepdim=True) / root_c
+        elif name == "bce":
+            out = network_architectures.robust_binary_crossentropy(
+                prob_stu, prob_tea)
+            out = out.sum(dim=1, keepdim=True)
+        elif name == "kld":
+            out = F.kl_div(F.log_softmax(t_ls, dim=1), prob_tea,
+                           reduction="none")
+            out = out.sum(dim=1, keepdim=True)
+        return out.numpy().transpose(0, 2, 3, 1)
+
+    for name in ("var", "logits_var", "logits_smoothl1", "bce", "kld"):
+        ours = np.asarray(consistency_loss_per_pixel(name, ls, lt))
+        np.testing.assert_allclose(ours, ref_loss(name), rtol=2e-5,
+                                   atol=1e-6, err_msg=name)
+
+
+def test_sigmoid_rampup_matches_reference(ref):
+    """exp(-5(1-t)^2) consistency ramp (network_architectures.py:122-130)."""
+    from architectures import network_architectures
+
+    from cutmix_seg_tpu.utils.rampup import sigmoid_rampup
+
+    for epoch in (0, 1, 3, 7, 11, 15, 20):
+        ours = float(sigmoid_rampup(epoch, 15))
+        theirs = float(network_architectures.sigmoid_rampup(epoch, 15))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6,
+                                   err_msg=str(epoch))
