@@ -1068,3 +1068,96 @@ def test_sigmoid_rampup_matches_reference(ref):
         theirs = float(network_architectures.sigmoid_rampup(epoch, 15))
         np.testing.assert_allclose(ours, theirs, rtol=1e-6,
                                    err_msg=str(epoch))
+
+
+@pytest.fixture
+def pascal_env(tmp_path, ref, monkeypatch):
+    """Synthetic loose-file VOC2012 tree + config for both settings systems."""
+    scripts_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from tpu_e2e_voc import make_voc_tree
+    finally:
+        sys.path.remove(scripts_dir)
+
+    root = tmp_path / "VOC2012"
+    make_voc_tree(str(root), n_train=10, n_val=4)
+    cfg = tmp_path / "semantic_segmentation.cfg"
+    cfg.write_text(f"[paths]\npascal_voc = {root}\n")
+
+    import settings as ref_settings
+
+    monkeypatch.setattr(ref_settings, "_CONFIG_PATH", str(cfg))
+    monkeypatch.setattr(ref_settings, "_config__", None)
+    monkeypatch.setattr(ref_settings, "dnnlib", None)
+    monkeypatch.setenv("CUTMIX_SEG_CONFIG", str(cfg))
+    from cutmix_seg_tpu.data import settings as our_settings
+
+    monkeypatch.setattr(our_settings, "_config", None)
+    yield root
+    monkeypatch.setattr(our_settings, "_config", None)
+
+
+@pytest.mark.parametrize("n_val", [-1, 3])
+def test_pascal_split_bit_equal_reference(pascal_env, ref, n_val):
+    """Pascal loose-file source: name-list ordering (train_ndx follows
+    train.txt ORDER over sorted sample names), holdout semantics, labels and
+    JPEG image content (pascal_voc_dataset.py:46-160)."""
+    from datapipe import datasets as ref_datasets
+
+    from cutmix_seg_tpu.data import datasets as our_datasets
+
+    r = ref_datasets.load_dataset("pascal", n_val, 131, 4, -1, 12345, None)
+    o = our_datasets.load_dataset("pascal", n_val, 131, 4, -1, 12345, None)
+    for k in ("sup_ndx", "unsup_ndx", "val_ndx_tgt"):
+        np.testing.assert_array_equal(o[k], r[k], err_msg=k)
+    ri = r["ds_src"].dataset(labels=True, mask=False, xf=False,
+                             pipeline_type="cv")
+    i = int(r["sup_ndx"][0])
+    np.testing.assert_array_equal(o["ds_src"].get_labels(i),
+                                  ri.get_labels_arr(i).astype(np.int32))
+    np.testing.assert_array_equal(o["ds_src"].get_image(i),
+                                  np.array(ri.get_image_pil(i)))
+
+
+def test_pascal_fg_subset_matches_reference_modulo_crash(pascal_env, ref):
+    """The reference's fg_class_subset path CRASHES as written: it reads
+    self.class_weights (pascal_voc_dataset.py:138) which the Pascal source
+    never defines — a latent AttributeError documented here by execution.
+    With that attribute patched in, the remaining logic (valid-image scan,
+    cached pickle, index filtering, class_map remap) must match ours."""
+    import numpy as _np
+
+    from datapipe import pascal_voc_dataset as ref_pv
+
+    from cutmix_seg_tpu.data import sources as our_sources
+
+    with pytest.raises(AttributeError):
+        ref_pv.PascalVOCDataSource(
+            n_val=-1, val_rng=np.random.RandomState(131),
+            trainval_perm=None, fg_class_subset=[5, 9])
+
+    # patch the missing attribute at class level so the rest executes
+    ref_pv.PascalVOCDataSource.class_weights = _np.ones(21)
+    try:
+        r = ref_pv.PascalVOCDataSource(
+            n_val=-1, val_rng=np.random.RandomState(131),
+            trainval_perm=None, fg_class_subset=[5, 9])
+    finally:
+        del ref_pv.PascalVOCDataSource.class_weights
+    o = our_sources.PascalVOCDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        fg_class_subset=[5, 9], root=str(pascal_env))
+
+    np.testing.assert_array_equal(o.train_ndx, r.train_ndx)
+    np.testing.assert_array_equal(o.val_ndx, r.val_ndx)
+    assert o.num_classes == r.num_classes == 3
+    np.testing.assert_array_equal(o.class_map, r.class_map)
+    # both sides share the reference's cached valid-index pickle contract
+    cache = os.path.join(str(pascal_env), "valid_images_fg_subset_5-9.pkl")
+    assert os.path.exists(cache)
+    o2 = our_sources.PascalVOCDataSource(
+        n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
+        fg_class_subset=[5, 9], root=str(pascal_env))
+    np.testing.assert_array_equal(o2.train_ndx, o.train_ndx)
