@@ -233,8 +233,11 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
                 for k in ("sup_x", "sup_y", "unsup_x")}
         # per-iteration index streams (T, K, B)
         stream = {}
-        for name, hi in (("s", n_sup), ("u0", n_unsup), ("u1", n_unsup)):
-            arr = np.stack([np.random.RandomState(2000 + s + ord(name[0]))
+        for name, off, hi in (("s", 0, n_sup), ("u0", 101, n_unsup),
+                              ("u1", 203, n_unsup)):
+            # distinct per-stream offsets: u0 and u1 MUST draw independent
+            # batches (CutMix between two identical batches is a no-op)
+            arr = np.stack([np.random.RandomState(2000 + s * 17 + off)
                             .randint(0, hi, size=(iters, batch))
                             for s in seeds], axis=1)
             stream[name] = jnp.asarray(arr.astype(np.int32))
