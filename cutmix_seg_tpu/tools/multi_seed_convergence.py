@@ -275,6 +275,11 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
             "seconds": round(time.time() - t0, 1),
         }
         print(arm, json.dumps(results[arm]), flush=True)
+        # durable partial progress: completed arms survive a cutoff
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "results_partial.json"), "w") as f:
+            json.dump({"arms": results, "n_seeds": n_seeds,
+                       "iters": iters}, f, indent=2)
 
     sup = np.array(results["supervised"]["miou_per_seed"])
     for arm in algos:

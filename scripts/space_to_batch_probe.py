@@ -126,7 +126,11 @@ def main():
     results = {}
     for name, model in (("direct", base), ("s2b", s2b)):
         step = jit_sharded_step(make_mask_mt_step(model, tx, cfg), mesh)
-        st = state
+        # the sharded step donates its state argument, so each variant needs
+        # a fresh state (same PRNGKey -> identical initialisation)
+        st, _ = create_train_state(
+            base, opt_cfg, jax.random.PRNGKey(0), input_hw=(65, 65),
+            mean_teacher=True, pretrained=False)
         t_c = time.perf_counter()
         for _ in range(WARMUP):
             st, metrics = step(st, batch, ramp)
