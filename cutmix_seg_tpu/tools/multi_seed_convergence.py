@@ -253,8 +253,17 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
         state, tx = stack_states(model, opt_cfg, seeds)
         runner = make_arm_runner(model, tx, cfg, make_step, algorithm,
                                  n_sup, n_unsup, batch)
-        state, losses = runner(state, data, stream, ramps)
-        losses = np.asarray(losses)
+        # chunk the scan: one 6000-iteration dispatch crashed the remote TPU
+        # worker; ~500-iteration dispatches keep the per-call program small
+        # while still amortising tunnel dispatch latency ~500x
+        chunk = min(500, iters)
+        loss_chunks = []
+        for c0 in range(0, iters, chunk):
+            sl = slice(c0, min(c0 + chunk, iters))
+            xs_c = {k: v[sl] for k, v in stream.items()}
+            state, losses = runner(state, data, xs_c, ramps[sl])
+            loss_chunks.append(np.asarray(losses))
+        losses = np.concatenate(loss_chunks)
 
         mious = []
         for k in range(n_seeds):

@@ -174,6 +174,39 @@ def test_algo_convergence_artifacts_parse():
         assert f"{rec['mask_mt_semisup_miou'] * 100:.2f}" in report, fn
 
 
+def test_algo_convergence_multiseed_parses():
+    """Round-4 8-seed sweep (VERDICT items 5+7): the paper ordering must
+    hold without sign ambiguity — CutMix positive on EVERY seed and the best
+    arm everywhere, aug_mt (full Hung pair geometry) negative on EVERY seed,
+    VAT/ICT small-positive in between, Cutout present as a first-class row."""
+    d = os.path.join(ROOT, "algo_convergence_multiseed")
+    rec = json.load(open(os.path.join(d, "results.json")))
+    assert rec["n_seeds"] >= 5 and rec["iters"] >= 4000
+    arms = rec["arms"]
+    for arm in ("supervised", "mask_mt", "cutout", "ict", "vat_mt",
+                "aug_mt"):
+        assert len(arms[arm]["miou_per_seed"]) == rec["n_seeds"], arm
+    # CutMix: positive on every seed, best mean gain, > 1 std from zero
+    mm = arms["mask_mt"]
+    assert all(g > 0 for g in mm["gain_per_seed"]), mm
+    assert mm["gain_mean"] > mm["gain_std"] > 0
+    for other in ("cutout", "ict", "vat_mt", "aug_mt"):
+        assert mm["gain_mean"] > arms[other]["gain_mean"], other
+    # aug_mt: the paper's failure case — negative on every seed
+    am = arms["aug_mt"]
+    assert all(g < 0 for g in am["gain_per_seed"]), am
+    assert am["gain_mean"] < -am["gain_std"] < 0
+    # classics strictly between CutMix and aug_mt, sign-stable majorities
+    for classic in ("ict", "vat_mt"):
+        c = arms[classic]
+        assert am["gain_mean"] < c["gain_mean"] < mm["gain_mean"]
+        assert sum(g > 0 for g in c["gain_per_seed"]) > rec["n_seeds"] / 2
+    # report quotes the headline gains
+    report = open(os.path.join(d, "report.md")).read()
+    assert f"{mm['gain_mean']:+.3f}" in report
+    assert "8/8" in report and "0/8" in report
+
+
 def test_loss_chain_probe_artifact_parses():
     """The loss-chain probe artifact records the measured falsification of
     the round-2 '>10 ms f32 chain' hypothesis: every variant within ~2% of
