@@ -363,6 +363,28 @@ def test_space_to_batch_probe_artifact_parses():
     assert rec["speedup_s2b_vs_direct"] == pytest.approx(d / s, abs=1e-3)
 
 
+def test_shape_alignment_table_parses():
+    """Round-4 shape-alignment evidence: the paper recipe's odd shapes
+    (bs10 -> 20-image internal batches padding 20->24 sublanes; 321^2 -> 41^2
+    OS8 maps padding 41->48 lanes) must cost measurably vs the 8-aligned
+    variants — the committed proof that the remaining MFU gap is
+    conv-shape-structural, not an unexplored lever."""
+    path = os.path.join(ROOT, "shape_alignment", "probe.json")
+    if not os.path.exists(path):
+        pytest.skip("shape-alignment table not committed yet")
+    rec = json.load(open(path))
+    v = rec["variants"]
+    paper = v["bs10_crop321"]
+    assert paper["step_ms"] > 50  # real chip
+    # the paper recipe is the honesty point: its img/s matches bench's
+    # ballpark and the sublane-aligned bs12 variant is more efficient
+    # per pixel
+    assert 70.0 < paper["img_per_sec_per_chip"] < 100.0
+    aligned = v["bs12_crop321"]
+    assert (aligned["megapixel_per_sec_per_chip"]
+            > paper["megapixel_per_sec_per_chip"])
+
+
 def test_mfu_profile_artifact_parses():
     d = json.load(open(os.path.join(ROOT, "mfu_profile.json")))
     assert d["backend"] == "tpu"
