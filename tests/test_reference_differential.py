@@ -1161,3 +1161,218 @@ def test_pascal_fg_subset_matches_reference_modulo_crash(pascal_env, ref):
         n_val=-1, val_rng=np.random.RandomState(131), trainval_perm=None,
         fg_class_subset=[5, 9], root=str(pascal_env))
     np.testing.assert_array_equal(o2.train_ndx, o.train_ndx)
+
+
+# ------------------------------------------------ ICT trainer differential
+
+@pytest.mark.slow
+def test_ict_step_trajectory_matches_reference_trainer(ref):
+    """Second trainer-trajectory differential: the reference's ICT inner
+    loop — its OWN ResNetDeepLab, EMAWeightOptimizer, two-LR Adam, and the
+    trainer's literal Beta-blend math (per-sample lambda mixes the student
+    input, the teacher's logits, probs AND per-pixel confidences;
+    train_seg_semisup_ict.py:290-395) — against this framework's fused ICT
+    step, from identical imported weights, identical batches and IDENTICAL
+    Beta draws, for 8 optimizer steps."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    import jax
+    import jax.numpy as jnp
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import (
+        ModelState,
+        OptimizerConfig,
+        TrainState,
+        create_train_state,
+    )
+    from cutmix_seg_tpu.models import torch_import
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+    from cutmix_seg_tpu.models.common import SegModel
+    from cutmix_seg_tpu.semisup.ict import ICTConfig, make_ict_step
+
+    C, layers, HW, B = 4, (1, 1, 1, 1), 48, 3
+    LR, ALPHA, CW, CONF, ICT_A = 2e-3, 0.99, 1.0, 0.25, 0.1
+    N_STEPS = 8
+
+    torch.manual_seed(1)
+    stu_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    tea_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    for p in tea_t.parameters():
+        p.requires_grad = False
+    # dedupe the reference's duplicated pretrained entries (the quirk is
+    # pinned by test_reference_optimizer_duplicate_param_quirk)
+    seen = set()
+    pre_dedup = [p for p in stu_t.pretrained_parameters()
+                 if id(p) not in seen and not seen.add(id(p))]
+    student_optim = torch.optim.Adam([
+        dict(params=pre_dedup, lr=LR * 0.1),
+        dict(params=stu_t.new_parameters(), lr=LR)])
+    teacher_optim = ref.ema.EMAWeightOptimizer(tea_t, stu_t, ALPHA)
+    stu_t.train()
+    tea_t.train()
+    stu_t.freeze_batchnorm()
+    tea_t.freeze_batchnorm()
+    clf_crossent_loss = nn.CrossEntropyLoss(ignore_index=255)
+
+    model = SegModel(
+        name="deeplab2_tiny", module=DeepLab2(num_classes=C, layers=layers),
+        mean=np.zeros(3), std=np.ones(3), block_size=(1, 1),
+        param_label=_param_label, load_pretrained=None)
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=LR,
+        lr_schedule=make_lr_schedule("none", LR, 1000))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(11), input_hw=(HW, HW),
+        mean_teacher=True, pretrained=False)
+
+    sd = {k: v.numpy().copy() for k, v in stu_t.state_dict().items()}
+    params_u, stats_u = torch_import.map_torch_resnet(sd)
+    head_u = torch_import.map_hung_deeplab_classifier(sd)
+    variables = {"params": state.student.params,
+                 "batch_stats": state.student.batch_stats}
+    variables, _, sk1 = torch_import.merge_updates(
+        variables, {"backbone": params_u}, {"backbone": stats_u})
+    variables, _, sk2 = torch_import.merge_updates(
+        variables, {"classifier": head_u}, {})
+    assert sk1 == 0 and sk2 == 0
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = TrainState(
+        step=state.step,
+        student=ModelState(params=params, batch_stats=stats),
+        teacher=ModelState(params=copy(params), batch_stats=copy(stats)),
+        opt_state=tx.init(params),
+        rng=state.rng,
+    )
+
+    cfg = ICTConfig(
+        ict_alpha=ICT_A, cons_loss_fn="var", cons_weight=CW,
+        conf_thresh=CONF, conf_per_pixel=False, freeze_bn=True,
+        mean_teacher=True, teacher_alpha=ALPHA)
+    step = jax.jit(make_ict_step(model, tx, cfg))
+
+    rng = np.random.RandomState(3)
+
+    def rand_batch():
+        b = {
+            "sup_x": rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32),
+            "sup_y": rng.randint(0, C, (B, HW, HW)).astype(np.int32),
+        }
+        b["sup_y"][b["sup_y"] == 0] = np.where(
+            rng.uniform(size=(b["sup_y"] == 0).sum()) < 0.3, 255, 0)
+        for k in ("ux0", "ux1"):
+            x = rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32)
+            b[f"{k}_tea"] = x
+            b[f"{k}_stu"] = x
+        for k in ("um0", "um1"):
+            um = np.ones((B, HW, HW, 1), np.float32)
+            y0, x0 = rng.randint(0, HW, 2)
+            um[:, y0:, x0:] = 0.0
+            b[k] = um
+        return b
+
+    t = lambda a: torch.tensor(np.transpose(a, (0, 3, 1, 2)))
+
+    ref_sup, ref_cons, ref_conf = [], [], []
+    our_sup, our_cons, our_conf = [], [], []
+    for it in range(N_STEPS):
+        batch = rand_batch()
+        # our step draws lambda from split(state.rng, 5)[1]; reproduce the
+        # IDENTICAL Beta draws for the reference loop
+        k_beta = jax.random.split(state.rng, 5)[1]
+        lam = np.asarray(jax.random.beta(
+            k_beta, ICT_A, ICT_A, shape=(B, 1, 1, 1)), dtype=np.float32)
+
+        # ---- the reference's literal ICT iteration ----
+        student_optim.zero_grad()
+        logits_sup = stu_t(t(batch["sup_x"]))
+        sup_loss = clf_crossent_loss(
+            logits_sup, torch.tensor(batch["sup_y"].astype(np.int64)))
+        sup_loss.backward()
+
+        lam_t = torch.tensor(lam)  # (B, 1, 1, 1) — NCHW-broadcastable as-is
+        ux_mixed = t(batch["ux0_stu"]) * (1.0 - lam_t) \
+            + t(batch["ux1_stu"]) * lam_t
+        um_mixed = (torch.tensor(np.transpose(batch["um0"], (0, 3, 1, 2)))
+                    * (1.0 - lam_t)
+                    + torch.tensor(np.transpose(batch["um1"], (0, 3, 1, 2)))
+                    * lam_t)
+        with torch.no_grad():
+            logits_u0 = tea_t(t(batch["ux0_tea"])).detach()
+            logits_u1 = tea_t(t(batch["ux1_tea"])).detach()
+        logits_stu = stu_t(ux_mixed)
+        prob_u0 = F.softmax(logits_u0, dim=1)
+        prob_u1 = F.softmax(logits_u1, dim=1)
+        prob_stu = F.softmax(logits_stu, dim=1)
+        prob_tea = prob_u0 * (1 - lam_t) + prob_u1 * lam_t
+        conf_u0 = prob_u0.max(dim=1, keepdim=True)[0]
+        conf_u1 = prob_u1.max(dim=1, keepdim=True)[0]
+        conf_tea = conf_u0 * (1 - lam_t) + conf_u1 * lam_t
+        conf_mask = (conf_tea >= CONF).float()
+        ref_conf.append(float(conf_mask.mean()))
+        loss_mask = um_mixed * conf_mask.mean()
+        delta = prob_stu - prob_tea
+        cons = (delta * delta).sum(dim=1, keepdim=True)
+        cons = (cons * loss_mask).mean()
+        (cons * CW).backward()
+        student_optim.step()
+        teacher_optim.step()
+        ref_sup.append(float(sup_loss.detach()))
+        ref_cons.append(float(cons.detach()))
+
+        # ---- our fused ICT step on the same batch ----
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()},
+                              jnp.float32(1.0))
+        our_sup.append(float(metrics["sup_loss"]))
+        our_cons.append(float(metrics["cons_loss"]))
+        our_conf.append(float(metrics["conf_rate"]))
+
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_cons, ref_cons, rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(our_conf, ref_conf, rtol=0, atol=2e-3)
+
+    # final parameters track on both sides of the EMA (atol slightly wider
+    # than the mask_mt differential: ICT's extreme Beta(0.1, 0.1) lambdas
+    # amplify f32 order-of-operations divergence through the blended
+    # softmax targets — measured 7/73728 elements past 5e-4 at step 8, all
+    # below 1e-3, with the losses tracking at 5e-3 rtol throughout)
+    fin = stu_t.state_dict()
+    our_w = np.asarray(state.student.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_w, fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
+    tea_fin = tea_t.state_dict()
+    our_tw = np.asarray(state.teacher.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
+
+
+def test_reference_ict_conf_per_pixel_broadcast_quirk():
+    """Documents (by execution) a reference behaviour consciously NOT
+    reproduced: the ICT trainer computes its teacher confidences with
+    keepdim=True, so conf_tea is already (B,1,H,W), and then adds ANOTHER
+    channel axis (train_seg_semisup_ict.py:344: `[:, None, :, :]`), giving
+    (B,1,1,H,W). With --conf_per_pixel the subsequent
+    `loss_mask * conf_mask` broadcasts (B,1,H,W) against (B,1,1,H,W) into
+    (B,B,1,H,W) — gating sample i's loss by sample j's confidences (and
+    inflating memory B-fold). The flag defaults to False (where only the
+    scalar .mean() is used and the extra axis is harmless), so the sweep
+    configs are unaffected; this framework's conf_per_pixel path gates each
+    sample by its own confidences."""
+    import torch
+
+    B, H, W = 3, 8, 9
+    conf_u = torch.rand(B, 1, H, W)      # keepdim=True max, as in ict.py:336
+    conf_tea = conf_u                     # (mixing preserves the shape)
+    conf_mask = (conf_tea >= 0.5).float()[:, None, :, :]  # ict.py:344 literal
+    assert conf_mask.shape == (B, 1, 1, H, W)
+    loss_mask = torch.ones(B, 1, H, W)
+    out = loss_mask * conf_mask           # ict.py:352 literal (per-pixel path)
+    assert out.shape == (B, B, 1, H, W)   # cross-sample gating, B-fold blowup
