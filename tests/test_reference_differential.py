@@ -1376,3 +1376,229 @@ def test_reference_ict_conf_per_pixel_broadcast_quirk():
     loss_mask = torch.ones(B, 1, H, W)
     out = loss_mask * conf_mask           # ict.py:352 literal (per-pixel path)
     assert out.shape == (B, B, 1, H, W)   # cross-sample gating, B-fold blowup
+
+
+# ------------------------------------------------ VAT trainer differential
+
+@pytest.mark.slow
+def test_vat_step_trajectory_matches_reference_trainer(ref):
+    """Third trainer-trajectory differential: the reference's VAT inner loop
+    — its OWN model class, the literal power-iteration direction math
+    (eval-mode direction net, per-sample-normalised noise, grad of the
+    SUMMED loss w.r.t. eps, adaptive image-Jacobian radius;
+    train_seg_semisup_vat_mt.py:216-301,397-464) — against this framework's
+    fused VAT step, from identical imported weights, batches and IDENTICAL
+    initial noise draws, for 6 optimizer steps.
+
+    Parity caveat exercised here (freeze_bn=True, the sweep config): the
+    reference's vat_direction() leaves the direction net in eval() mode, so
+    when the direction net IS the teacher (the default), the teacher's
+    consistency forward also runs with eval-mode BN. With frozen BN (all
+    reference recipes for this trainer family) eval-mode and
+    train+freeze_batchnorm are the same computation, which is what this
+    framework implements; training-BN VAT would diverge there and is not
+    part of the reference's executed configurations."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    import jax
+    import jax.numpy as jnp
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import (
+        ModelState,
+        OptimizerConfig,
+        TrainState,
+        create_train_state,
+    )
+    from cutmix_seg_tpu.models import torch_import
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+    from cutmix_seg_tpu.models.common import SegModel
+    from cutmix_seg_tpu.semisup.vat import (
+        VATConfig,
+        make_vat_step,
+        _normalize_per_sample,
+    )
+
+    C, layers, HW, B = 4, (1, 1, 1, 1), 48, 3
+    LR, ALPHA, CW, CONF, R = 2e-3, 0.99, 0.1, 0.25, 1.0
+    N_STEPS = 6
+
+    torch.manual_seed(2)
+    stu_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    tea_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    # NOTE: teacher params stay requires_grad=True — the reference relies on
+    # autograd.grad(..., inputs=eps, only_inputs=True) to scope the power
+    # step; EMAWeightOptimizer updates teacher weights out-of-graph
+    student_optim = None
+    seen = set()
+    pre_dedup = [p for p in stu_t.pretrained_parameters()
+                 if id(p) not in seen and not seen.add(id(p))]
+    student_optim = torch.optim.Adam([
+        dict(params=pre_dedup, lr=LR * 0.1),
+        dict(params=stu_t.new_parameters(), lr=LR)])
+    teacher_optim = ref.ema.EMAWeightOptimizer(tea_t, stu_t, ALPHA)
+    stu_t.train()
+    tea_t.train()
+    stu_t.freeze_batchnorm()
+    tea_t.freeze_batchnorm()
+    clf_crossent_loss = nn.CrossEntropyLoss(ignore_index=255)
+
+    def normalize_eps_t(x):
+        # .reshape instead of the reference's .view: autograd.grad through
+        # this test's transposed inputs yields non-contiguous grads (the
+        # reference's loader-produced tensors are contiguous); same math
+        x_flat = x.reshape(len(x), -1)
+        mag = torch.sqrt((x_flat * x_flat).sum(dim=1))
+        return x / (mag[:, None, None, None] + 1e-12)
+
+    model = SegModel(
+        name="deeplab2_tiny", module=DeepLab2(num_classes=C, layers=layers),
+        mean=np.zeros(3), std=np.ones(3), block_size=(1, 1),
+        param_label=_param_label, load_pretrained=None)
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=LR,
+        lr_schedule=make_lr_schedule("none", LR, 1000))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(13), input_hw=(HW, HW),
+        mean_teacher=True, pretrained=False)
+
+    sd = {k: v.numpy().copy() for k, v in stu_t.state_dict().items()}
+    params_u, stats_u = torch_import.map_torch_resnet(sd)
+    head_u = torch_import.map_hung_deeplab_classifier(sd)
+    variables = {"params": state.student.params,
+                 "batch_stats": state.student.batch_stats}
+    variables, _, sk1 = torch_import.merge_updates(
+        variables, {"backbone": params_u}, {"backbone": stats_u})
+    variables, _, sk2 = torch_import.merge_updates(
+        variables, {"classifier": head_u}, {})
+    assert sk1 == 0 and sk2 == 0
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = TrainState(
+        step=state.step,
+        student=ModelState(params=params, batch_stats=stats),
+        teacher=ModelState(params=copy(params), batch_stats=copy(stats)),
+        opt_state=tx.init(params),
+        rng=state.rng,
+    )
+
+    cfg = VATConfig(
+        vat_radius=R, adaptive_vat_radius=True, cons_loss_fn="var",
+        cons_weight=CW, conf_thresh=CONF, conf_per_pixel=False,
+        freeze_bn=True, mean_teacher=True, teacher_alpha=ALPHA)
+    step = jax.jit(make_vat_step(model, tx, cfg))
+
+    rng = np.random.RandomState(5)
+    noise_scale = 1.0e-6 * HW * HW / 1000.0
+
+    def rand_batch():
+        b = {
+            "sup_x": rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32),
+            "sup_y": rng.randint(0, C, (B, HW, HW)).astype(np.int32),
+        }
+        b["sup_y"][b["sup_y"] == 0] = np.where(
+            rng.uniform(size=(b["sup_y"] == 0).sum()) < 0.3, 255, 0)
+        # distinct tea/stu images exercise the x vs x_hat distinction in
+        # the direction math (paired-augmentation contract)
+        base = rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32)
+        b["ux_tea"] = base
+        b["ux_stu"] = (base + 0.05 * rng.normal(
+            0, 1, base.shape)).astype(np.float32)
+        um = np.ones((B, HW, HW, 1), np.float32)
+        y0, x0 = rng.randint(0, HW, 2)
+        um[:, y0:, x0:] = 0.0
+        b["um"] = um
+        return b
+
+    t = lambda a: torch.tensor(np.transpose(a, (0, 3, 1, 2)))
+
+    ref_sup, ref_cons, ref_conf = [], [], []
+    our_sup, our_cons, our_conf = [], [], []
+    for it in range(N_STEPS):
+        batch = rand_batch()
+        # our step draws its initial noise from split(state.rng, 5)[1];
+        # reproduce the IDENTICAL normalised+scaled eps0 for the torch loop
+        k_eps = jax.random.split(state.rng, 5)[1]
+        eps0 = np.asarray(_normalize_per_sample(jax.random.normal(
+            k_eps, (B, HW, HW, 3), jnp.float32)) * noise_scale,
+            dtype=np.float32)
+
+        # ---- the reference's literal VAT iteration ----
+        student_optim.zero_grad()
+        logits_sup = stu_t(t(batch["sup_x"]))
+        sup_loss = clf_crossent_loss(
+            logits_sup, torch.tensor(batch["sup_y"].astype(np.int64)))
+        sup_loss.backward()
+
+        x = t(batch["ux_tea"])
+        x_hat = t(batch["ux_stu"])
+        # vat_direction (vat_mt.py:226-271), direction net = teacher
+        tea_t.eval()
+        with torch.no_grad():
+            y_pred_logits = tea_t(x).detach()
+        y_pred_prob = F.softmax(y_pred_logits, dim=1)
+        eps = t(eps0).clone().detach().requires_grad_(True)
+        eps_pred_logits = tea_t(x_hat.detach() + eps)
+        eps_pred_prob = F.softmax(eps_pred_logits, dim=1)
+        delta = eps_pred_prob - y_pred_prob
+        dir_loss = (delta * delta).sum()
+        eps_adv = torch.autograd.grad(
+            outputs=dir_loss, inputs=eps, create_graph=True,
+            retain_graph=True, only_inputs=True)[0]
+        eps_adv_nrm = normalize_eps_t(eps_adv)
+        # adaptive radius from the image Jacobian (vat_mt.py:277-296)
+        delta_v = x_hat[:, :, 2:, :] - x_hat[:, :, :-2, :]
+        delta_h = x_hat[:, :, :, 2:] - x_hat[:, :, :, :-2]
+        delta_v = delta_v.reshape(len(delta_v), -1)
+        delta_h = delta_h.reshape(len(delta_h), -1)
+        adv_radius = R * torch.sqrt(
+            (delta_v ** 2).sum(dim=1) + (delta_h ** 2).sum(dim=1)
+        )[:, None, None, None] * 0.5
+        x_perturb = (eps_adv_nrm * adv_radius).detach()
+
+        batch_ux_adv = x_hat + x_perturb
+        with torch.no_grad():
+            logits_cons_tea = tea_t(x).detach()
+        logits_cons_stu = stu_t(batch_ux_adv)
+        prob_cons_tea = F.softmax(logits_cons_tea, dim=1)
+        prob_cons_stu = F.softmax(logits_cons_stu, dim=1)
+        conf_tea = prob_cons_tea.max(dim=1)[0]
+        conf_mask = (conf_tea >= CONF).float()[:, None, :, :]
+        ref_conf.append(float(conf_mask.mean()))
+        loss_mask = torch.tensor(np.transpose(
+            batch["um"], (0, 3, 1, 2))) * conf_mask.mean()
+        dp = prob_cons_stu - prob_cons_tea
+        cons = (dp * dp).sum(dim=1, keepdim=True)
+        cons = (cons * loss_mask).mean()
+        (cons * CW).backward()
+        student_optim.step()
+        teacher_optim.step()
+        ref_sup.append(float(sup_loss.detach()))
+        ref_cons.append(float(cons.detach()))
+
+        # ---- our fused VAT step on the same batch ----
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()},
+                              jnp.float32(1.0))
+        our_sup.append(float(metrics["sup_loss"]))
+        our_cons.append(float(metrics["cons_loss"]))
+        our_conf.append(float(metrics["conf_rate"]))
+
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_cons, ref_cons, rtol=2e-2, atol=2e-6)
+    np.testing.assert_allclose(our_conf, ref_conf, rtol=0, atol=2e-3)
+
+    fin = stu_t.state_dict()
+    our_w = np.asarray(state.student.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_w, fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
+    tea_fin = tea_t.state_dict()
+    our_tw = np.asarray(state.teacher.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
