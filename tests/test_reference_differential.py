@@ -1602,3 +1602,199 @@ def test_vat_step_trajectory_matches_reference_trainer(ref):
         "kernel"]).transpose(3, 2, 0, 1)
     np.testing.assert_allclose(
         our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
+
+
+# --------------------------------------------- aug_mt trainer differential
+
+@pytest.mark.slow
+def test_aug_mt_step_trajectory_matches_reference_trainer(ref):
+    """Fourth trainer-trajectory differential, completing the set: the
+    reference's augmentation-driven consistency inner loop — teacher on
+    pair element 0, student on element 1, the teacher's logits/probs/valid
+    mask warped into the student frame with F.affine_grid + F.grid_sample
+    (align_corners=True), the warped-confidence gate, the 'var' loss
+    (train_seg_semisup_aug_mt.py:267-402) — against this framework's fused
+    aug_cons step from identical imported weights, batches and pair
+    matrices, for 8 optimizer steps. aug_mt's loop has NO in-step
+    randomness (geometry is host-sampled), so the streams are identical by
+    providing the same xf0->1 matrices to both sides."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    import jax
+    import jax.numpy as jnp
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import (
+        ModelState,
+        OptimizerConfig,
+        TrainState,
+        create_train_state,
+    )
+    from cutmix_seg_tpu.models import torch_import
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+    from cutmix_seg_tpu.models.common import SegModel
+    from cutmix_seg_tpu.semisup.aug_cons import (
+        AugConsConfig,
+        make_aug_cons_step,
+    )
+
+    C, layers, HW, B = 4, (1, 1, 1, 1), 48, 3
+    LR, ALPHA, CW, CONF = 2e-3, 0.99, 1.0, 0.25
+    N_STEPS = 8
+
+    torch.manual_seed(3)
+    stu_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    tea_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    for p in tea_t.parameters():
+        p.requires_grad = False
+    seen = set()
+    pre_dedup = [p for p in stu_t.pretrained_parameters()
+                 if id(p) not in seen and not seen.add(id(p))]
+    student_optim = torch.optim.Adam([
+        dict(params=pre_dedup, lr=LR * 0.1),
+        dict(params=stu_t.new_parameters(), lr=LR)])
+    teacher_optim = ref.ema.EMAWeightOptimizer(tea_t, stu_t, ALPHA)
+    stu_t.train()
+    tea_t.train()
+    stu_t.freeze_batchnorm()
+    tea_t.freeze_batchnorm()
+    clf_crossent_loss = nn.CrossEntropyLoss(ignore_index=255)
+
+    model = SegModel(
+        name="deeplab2_tiny", module=DeepLab2(num_classes=C, layers=layers),
+        mean=np.zeros(3), std=np.ones(3), block_size=(1, 1),
+        param_label=_param_label, load_pretrained=None)
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=LR,
+        lr_schedule=make_lr_schedule("none", LR, 1000))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(17), input_hw=(HW, HW),
+        mean_teacher=True, pretrained=False)
+
+    sd = {k: v.numpy().copy() for k, v in stu_t.state_dict().items()}
+    params_u, stats_u = torch_import.map_torch_resnet(sd)
+    head_u = torch_import.map_hung_deeplab_classifier(sd)
+    variables = {"params": state.student.params,
+                 "batch_stats": state.student.batch_stats}
+    variables, _, sk1 = torch_import.merge_updates(
+        variables, {"backbone": params_u}, {"backbone": stats_u})
+    variables, _, sk2 = torch_import.merge_updates(
+        variables, {"classifier": head_u}, {})
+    assert sk1 == 0 and sk2 == 0
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = TrainState(
+        step=state.step,
+        student=ModelState(params=params, batch_stats=stats),
+        teacher=ModelState(params=copy(params), batch_stats=copy(stats)),
+        opt_state=tx.init(params),
+        rng=state.rng,
+    )
+
+    cfg = AugConsConfig(
+        cons_loss_fn="var", cons_weight=CW, conf_thresh=CONF,
+        conf_per_pixel=False, freeze_bn=True, mean_teacher=True,
+        teacher_alpha=ALPHA)
+    step = jax.jit(make_aug_cons_step(model, tx, cfg))
+
+    rng = np.random.RandomState(9)
+
+    def rand_batch():
+        b = {
+            "sup_x": rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32),
+            "sup_y": rng.randint(0, C, (B, HW, HW)).astype(np.int32),
+        }
+        b["sup_y"][b["sup_y"] == 0] = np.where(
+            rng.uniform(size=(b["sup_y"] == 0).sum()) < 0.3, 255, 0)
+        b["ux0"] = rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32)
+        b["ux1"] = rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32)
+        for k in ("um0", "um1"):
+            um = np.ones((B, HW, HW, 1), np.float32)
+            y0, x0 = rng.randint(0, HW, 2)
+            um[:, y0:, x0:] = 0.0
+            b[k] = um
+        # plausible pair geometry directly in the torch affine_grid
+        # convention: small rotation + scale + translation per sample
+        th = rng.uniform(-0.3, 0.3, B)
+        sc = rng.uniform(0.8, 1.25, B)
+        tx_ = rng.uniform(-0.2, 0.2, B)
+        ty_ = rng.uniform(-0.2, 0.2, B)
+        theta = np.zeros((B, 2, 3), np.float32)
+        theta[:, 0, 0] = np.cos(th) * sc
+        theta[:, 0, 1] = -np.sin(th) * sc
+        theta[:, 1, 0] = np.sin(th) * sc
+        theta[:, 1, 1] = np.cos(th) * sc
+        theta[:, 0, 2] = tx_
+        theta[:, 1, 2] = ty_
+        b["xf0_to_1"] = theta
+        return b
+
+    t = lambda a: torch.tensor(np.transpose(a, (0, 3, 1, 2)))
+
+    ref_sup, ref_cons, ref_conf = [], [], []
+    our_sup, our_cons, our_conf = [], [], []
+    for it in range(N_STEPS):
+        batch = rand_batch()
+
+        # ---- the reference's literal aug_mt iteration ----
+        student_optim.zero_grad()
+        logits_sup = stu_t(t(batch["sup_x"]))
+        sup_loss = clf_crossent_loss(
+            logits_sup, torch.tensor(batch["sup_y"].astype(np.int64)))
+        sup_loss.backward()
+
+        ux0, ux1 = t(batch["ux0"]), t(batch["ux1"])
+        um0 = torch.tensor(np.transpose(batch["um0"], (0, 3, 1, 2)))
+        um1 = torch.tensor(np.transpose(batch["um1"], (0, 3, 1, 2)))
+        theta_t = torch.tensor(batch["xf0_to_1"])
+        with torch.no_grad():
+            logits_cons_tea = tea_t(ux0).detach()
+        logits_cons_stu = stu_t(ux1)
+        grid = F.affine_grid(theta_t, ux0.shape, align_corners=True)
+        logits_tea_in_stu = F.grid_sample(logits_cons_tea, grid,
+                                          align_corners=True)
+        mask_tea_in_stu = F.grid_sample(um0, grid, align_corners=True) * um1
+        prob_cons_tea = F.softmax(logits_cons_tea, dim=1)
+        prob_cons_stu = F.softmax(logits_cons_stu, dim=1)
+        prob_tea_in_stu = F.grid_sample(prob_cons_tea, grid,
+                                        align_corners=True)
+        loss_mask = mask_tea_in_stu
+        conf_tea = prob_tea_in_stu.max(dim=1)[0]
+        conf_mask = (conf_tea >= CONF).float()[:, None, :, :]
+        ref_conf.append(float(conf_mask.mean()))
+        loss_mask = loss_mask * conf_mask.mean()
+        dp = prob_cons_stu - prob_tea_in_stu
+        cons = (dp * dp).sum(dim=1, keepdim=True)
+        cons = (cons * loss_mask).mean()
+        (cons * CW).backward()
+        student_optim.step()
+        teacher_optim.step()
+        ref_sup.append(float(sup_loss.detach()))
+        ref_cons.append(float(cons.detach()))
+
+        # ---- our fused aug_cons step on the same batch ----
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()},
+                              jnp.float32(1.0))
+        our_sup.append(float(metrics["sup_loss"]))
+        our_cons.append(float(metrics["cons_loss"]))
+        our_conf.append(float(metrics["conf_rate"]))
+
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_cons, ref_cons, rtol=5e-3, atol=2e-6)
+    np.testing.assert_allclose(our_conf, ref_conf, rtol=0, atol=2e-3)
+
+    fin = stu_t.state_dict()
+    our_w = np.asarray(state.student.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_w, fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
+    tea_fin = tea_t.state_dict()
+    our_tw = np.asarray(state.teacher.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
