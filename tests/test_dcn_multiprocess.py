@@ -125,7 +125,9 @@ def test_two_process_dcn_full_train_step():
     import jax.numpy as jnp
     import numpy as np
 
-    import _dcn_step_common as common
+    from tests import _dcn_step_common as common  # tests/ is a package
+    # (tests/__init__.py guards against the reference checkout's
+    # own tests/ package shadowing this directory)
     from cutmix_seg_tpu.parallel.mesh import make_mesh, shard_batch
 
     if jax.device_count() < common.GLOBAL_BATCH:

@@ -238,7 +238,9 @@ def test_spatial_train_step_matches_data_parallel():
     parameters — proving the spatial mapping is a pure layout change through
     forward AND backward (grad psums + GSPMD halos), usable when one image's
     activations exceed a chip."""
-    import _dcn_step_common as common
+    from tests import _dcn_step_common as common  # tests/ is a package
+    # (tests/__init__.py guards against the reference checkout's
+    # own tests/ package shadowing this directory)
     from cutmix_seg_tpu.parallel.mesh import replicated, shard_batch
     from cutmix_seg_tpu.parallel.spatial import (
         _spatial_batch_spec,
