@@ -76,8 +76,12 @@ def _round_half_up(coord, canvas_n):
     A bias of a few ulps of the canvas scale makes every program round such
     boundary coordinates half-UP consistently (the gather and separable warp
     paths must agree bit-for-bit on label taps); genuinely non-boundary
-    coordinates are unaffected."""
-    return jnp.floor(coord + (0.5 + canvas_n * 1e-6))
+    coordinates are unaffected. The bias is 4 ulps at the canvas magnitude
+    (canvas_n * 2**-21): enough to dominate 1-2 ulp FMA-contraction
+    differences on boundary coords, small enough that non-boundary coords —
+    in particular the irrational coords of the rotate-scale family, which
+    has no half-integer boundaries — keep their exact nearest tap."""
+    return jnp.floor(coord + (0.5 + canvas_n * (2.0 ** -21)))
 
 
 def _gather_nhwc(img, iy, ix):

@@ -236,8 +236,11 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
         for name, off, hi in (("s", 0, n_sup), ("u0", 101, n_unsup),
                               ("u1", 203, n_unsup)):
             # distinct per-stream offsets: u0 and u1 MUST draw independent
-            # batches (CutMix between two identical batches is a no-op)
-            arr = np.stack([np.random.RandomState(2000 + s * 17 + off)
+            # batches (CutMix between two identical batches is a no-op).
+            # Collision-free encoding (seed stride 1000 >> max offset): the
+            # earlier 2000 + s*17 + off had 203-101 = 6*17, making seed s's
+            # u1 stream identical to seed (s+6)'s u0 stream at n_seeds=8.
+            arr = np.stack([np.random.RandomState(2000 + s * 1000 + off)
                             .randint(0, hi, size=(iters, batch))
                             for s in seeds], axis=1)
             stream[name] = jnp.asarray(arr.astype(np.int32))

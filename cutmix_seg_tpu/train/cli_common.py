@@ -96,7 +96,9 @@ def common_options(with_geom_pair_opts: bool = False):
             ["auto", "on", "off"]), default="auto",
             help="TPU extra: stage the decoded training canvases in HBM and "
                  "ship only indices+matrices per iteration (auto: when the "
-                 "dataset fits a 1 GB budget; single-process only)"),
+                 "dataset fits a 1 GB budget; single-process only). Same "
+                 "samples/geometry as streaming; labels bit-equal, images "
+                 "differ at f32 rounding (~1e-5) from window re-anchoring"),
         click.option("--no_pretrained", is_flag=True, default=False,
                      help="skip loading pretrained backbone weights (random "
                           "init; for machines without the weight files)"),

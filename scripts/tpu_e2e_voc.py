@@ -111,6 +111,12 @@ def main():
     ap.add_argument("--resume", action="store_true", default=False,
                     help="resume from the latest checkpoint in this "
                          "job_desc's run dir (engine --resume semantics)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init + host streams + masks); the "
+                         "synthetic dataset tree stays fixed so seeds vary "
+                         "only the training randomness, matching the "
+                         "reference's multi-seed protocol "
+                         "(run_cityscapes_experiments.sh:14-17)")
     args = ap.parse_args()
 
     tmp = args.out or tempfile.mkdtemp(prefix="tpu_e2e_voc_")
@@ -140,7 +146,7 @@ def main():
         rampup=args.rampup, num_epochs=args.epochs,
         iters_per_epoch=args.iters, batch_size=args.batch_size,
         n_sup=args.n_sup, resume=args.resume,
-        checkpoint_interval=args.checkpoint_interval,
+        checkpoint_interval=args.checkpoint_interval, seed=args.seed,
     )
     from cutmix_seg_tpu.train.mask_mt import train_seg_semisup_mask_mt as fn
     job.submit("tpu_e2e_voc", args.job_desc, fn, p,
