@@ -1798,3 +1798,200 @@ def test_aug_mt_step_trajectory_matches_reference_trainer(ref):
         "kernel"]).transpose(3, 2, 0, 1)
     np.testing.assert_allclose(
         our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=1.2e-3)
+
+
+def _torch_name_to_flax_path(name):
+    """torch state_dict/param name -> flax ('/'-joined) param path, the same
+    layout map torch_import.map_torch_resnet / map_hung_deeplab_classifier
+    use (kept declarative here so the group-assignment comparison does not
+    depend on the code under test)."""
+    import re as _re
+
+    parts = name.split(".")
+    leaf = {"weight": "kernel", "bias": "bias"}
+    bn_leaf = {"weight": "scale", "bias": "bias",
+               "running_mean": "mean", "running_var": "var"}
+    if parts[0] == "conv1":
+        return f"backbone/conv1/{leaf[parts[1]]}"
+    if parts[0] == "bn1":
+        return f"backbone/bn1/{bn_leaf[parts[1]]}"
+    m = _re.match(r"layer(\d+)$", parts[0])
+    if m and parts[0] != "layer5":
+        block = f"{parts[0]}_{parts[1]}"
+        rest = parts[2:]
+        if rest[0].startswith("conv"):
+            return f"backbone/{block}/{rest[0]}/{leaf[rest[1]]}"
+        if rest[0].startswith("bn"):
+            return f"backbone/{block}/{rest[0]}/{bn_leaf[rest[1]]}"
+        if rest[0] == "downsample":
+            if rest[1] == "0":
+                return f"backbone/{block}/downsample_conv/{leaf[rest[2]]}"
+            return f"backbone/{block}/downsample_bn/{bn_leaf[rest[2]]}"
+    m = _re.match(r"layer5\.conv2d_list\.(\d+)\.(weight|bias)", name)
+    if m:
+        return f"classifier/aspp{m.group(1)}/{leaf[m.group(2)]}"
+    raise AssertionError(f"unmapped torch name {name}")
+
+
+def _flatten_paths(tree):
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+            for path, leaf in flat}
+
+
+@pytest.mark.parametrize("n_classes_target", [5, 3])
+def test_coco_partial_load_differential(ref, tmp_path, monkeypatch,
+                                        n_classes_target):
+    """Pretrained-variant loading differential (round-4 VERDICT weak 6):
+    a synthetic COCO-style checkpoint — the reference's OWN ResNetDeepLab
+    state_dict (torchvision backbone naming + layer5 ASPP head + BN running
+    stats), exactly the real resnet101COCO file's key set — is loaded
+    through the reference's executable size-checked partial loader
+    (architectures/deeplab2.py:310-322; the same copy rule as the COCO
+    factory's inline loop at :266-281) and through this framework's real
+    file path (torch_import.load_resnet_deeplab2 reading a .pth from
+    CUTMIX_SEG_WEIGHTS), at a MATCHING class count (head must load) and a
+    MISMATCHING one (head must be skipped, backbone still loaded). Every
+    tensor the reference ends up with must equal ours bit-for-bit."""
+    import torch
+
+    import jax
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import OptimizerConfig, create_train_state
+    from cutmix_seg_tpu.models import torch_import
+    from cutmix_seg_tpu.models.common import SegModel
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+
+    layers, C_DONOR = (1, 1, 1, 1), 5
+
+    # ---- synthetic COCO-style donor: the reference's own model class ----
+    torch.manual_seed(42)
+    donor = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C_DONOR,
+                               None, None)
+    with torch.no_grad():
+        for p in donor.parameters():
+            p.normal_(0, 0.05)
+        for mod in donor.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 1.5)
+    sd_donor = {k: v.detach().clone() for k, v in donor.state_dict().items()}
+    torch.save(sd_donor, tmp_path / "resnet101_deeplab_coco.pth")
+    monkeypatch.setenv("CUTMIX_SEG_WEIGHTS", str(tmp_path))
+
+    # ---- reference side: its executable partial loader ----
+    torch.manual_seed(7)
+    model_r = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers),
+                                 n_classes_target, None, None)
+    head_init_r = {k: v.detach().clone()
+                   for k, v in model_r.state_dict().items()
+                   if k.startswith("layer5.")}
+    r_dl._load_state_into_model(model_r, sd_donor)
+    sd_ref = {k: v.numpy().copy() for k, v in model_r.state_dict().items()}
+
+    # ---- our side: the real loader path (reads the .pth) ----
+    model = SegModel(
+        name="deeplab2_tiny",
+        module=DeepLab2(num_classes=n_classes_target, layers=layers),
+        mean=np.zeros(3), std=np.ones(3), block_size=(1, 1),
+        param_label=_param_label, load_pretrained=None)
+    opt_cfg = OptimizerConfig(opt_type="adam", learning_rate=1e-3,
+                              lr_schedule=make_lr_schedule("none", 1e-3, 10))
+    state, _ = create_train_state(model, opt_cfg, jax.random.PRNGKey(3),
+                                  input_hw=(48, 48), mean_teacher=False,
+                                  pretrained=False)
+    variables = {"params": state.student.params,
+                 "batch_stats": state.student.batch_stats}
+    head_init_ours = _flatten_paths(
+        jax.tree_util.tree_map(np.asarray, variables["params"]["classifier"]))
+    loaded = torch_import.load_resnet_deeplab2(variables,
+                                               "resnet101_deeplab_coco")
+
+    ours_p = _flatten_paths(loaded["params"])
+    ours_s = _flatten_paths(loaded["batch_stats"])
+
+    # every tensor of the reference-loaded model must equal ours: map the
+    # REFERENCE's post-load state_dict through the declarative name map and
+    # compare leaf-for-leaf (conv kernels compared in flax HWIO layout)
+    n_checked = 0
+    for name, val in sd_ref.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        path = _torch_name_to_flax_path(name)
+        is_stat = path.endswith("/mean") or path.endswith("/var")
+        ours = np.asarray(ours_s[path] if is_stat else ours_p[path])
+        if path.endswith("kernel"):
+            val = np.transpose(val, (2, 3, 1, 0))
+        if path.startswith("classifier") and n_classes_target != C_DONOR:
+            # mismatched head: the reference keeps ITS init, we keep OURS
+            # (both sides skipped the copy — sizes differ)
+            tname = f"layer5.conv2d_list.{path.split('aspp')[1][0]}." + (
+                "weight" if path.endswith("kernel") else "bias")
+            want_r = head_init_r[tname].numpy()
+            if path.endswith("kernel"):
+                want_r = np.transpose(want_r, (2, 3, 1, 0))
+            np.testing.assert_array_equal(val, want_r)
+            np.testing.assert_array_equal(
+                ours, head_init_ours[path.split("classifier/")[1]])
+        else:
+            np.testing.assert_array_equal(val, ours)
+        n_checked += 1
+    # full coverage: nothing in our param tree the map did not visit
+    assert n_checked == len(ours_p) + len(ours_s)
+
+
+def test_param_group_assignment_matches_reference_generators(ref):
+    """Two-LR param-group differential: the reference's optimizer splits
+    parameters via pretrained_parameters() / new_parameters() with BN
+    affines excluded entirely (requires_grad=False at construction;
+    architectures/deeplab2.py:71-84,143-144,208-242,
+    train_seg_semisup_mask_mt.py:90-98). Our _param_label must assign the
+    SAME group to every parameter: 'pretrained' (0.1x LR) exactly where the
+    reference's pretrained_parameters() yields it, 'new' (full LR) exactly
+    for the classifier head, 'frozen' (no updates) exactly for the BN
+    affines the reference excludes."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+
+    layers, C = (1, 1, 1, 1), 5
+    torch.manual_seed(0)
+    model_r = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C,
+                                 None, None)
+    name_of = {id(p): n for n, p in model_r.named_parameters()}
+    seen = set()
+    pre_names = {name_of[id(p)] for p in model_r.pretrained_parameters()
+                 if id(p) not in seen and not seen.add(id(p))}
+    new_names = {name_of[id(p)] for p in model_r.new_parameters()}
+    frozen_names = {n for n, p in model_r.named_parameters()
+                    if not p.requires_grad}
+    assert not (pre_names & new_names) and not (pre_names & frozen_names)
+
+    module = DeepLab2(num_classes=C, layers=layers)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 48, 48, 3), jnp.float32),
+                            train=False)
+    labels = _flatten_paths(_param_label(variables["params"]))
+
+    n_checked = 0
+    for name, _ in model_r.named_parameters():
+        path = _torch_name_to_flax_path(name)
+        if name in pre_names:
+            want = "pretrained"
+        elif name in new_names:
+            want = "new"
+        else:
+            assert name in frozen_names, name
+            want = "frozen"
+        assert labels[path] == want, (name, path, labels[path], want)
+        n_checked += 1
+    # exhaustive on both sides: every flax param leaf had a torch twin
+    assert n_checked == len(labels)
