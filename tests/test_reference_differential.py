@@ -1995,3 +1995,175 @@ def test_param_group_assignment_matches_reference_generators(ref):
         n_checked += 1
     # exhaustive on both sides: every flax param leaf had a torch twin
     assert n_checked == len(labels)
+
+
+def test_cutout_step_trajectory_matches_reference_trainer(ref):
+    """Cutout-mode (mask_mode='zero') trainer differential — the one mask_mt
+    branch the round-4 harness verified only at unit level: the reference's
+    literal cut branch (train_seg_semisup_mask_mt.py:371-401 — single unsup
+    batch, x_cut = x * mask, teacher on the UNCUT image, loss_mask =
+    cut_mask * validity) with its own ResNetDeepLab / EMAWeightOptimizer /
+    two-LR Adam, against our fused step in mask_mode='zero' with the paper's
+    Cutout box config (prop 0.0:1.0, run_pascal_aug_experiments.sh:21,32),
+    from identical imported weights, batches and masks, for 6 steps."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    import jax
+    import jax.numpy as jnp
+    from architectures import deeplab2 as r_dl
+
+    from cutmix_seg_tpu.core.schedules import make_lr_schedule
+    from cutmix_seg_tpu.core.train_state import (
+        ModelState,
+        OptimizerConfig,
+        TrainState,
+        create_train_state,
+    )
+    from cutmix_seg_tpu.masks.box_mask import BoxMaskConfig, sample_masks
+    from cutmix_seg_tpu.models import torch_import
+    from cutmix_seg_tpu.models.deeplab2 import DeepLab2, _param_label
+    from cutmix_seg_tpu.models.common import SegModel
+    from cutmix_seg_tpu.semisup.mask_mt import (
+        MaskConsistencyConfig,
+        make_mask_mt_step,
+    )
+
+    C, layers, HW, B = 4, (1, 1, 1, 1), 48, 3
+    LR, ALPHA, CW, CONF = 2e-3, 0.99, 1.0, 0.25
+    N_STEPS = 6
+    box = BoxMaskConfig((0.0, 1.0))  # the paper's Cutout prop range
+
+    torch.manual_seed(1)
+    stu_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    tea_t = r_dl.ResNetDeepLab(r_dl.Bottleneck, list(layers), C, None, None)
+    for p in tea_t.parameters():
+        p.requires_grad = False
+    seen = set()
+    pre_dedup = [p for p in stu_t.pretrained_parameters()
+                 if id(p) not in seen and not seen.add(id(p))]
+    student_optim = torch.optim.Adam([
+        dict(params=pre_dedup, lr=LR * 0.1),
+        dict(params=stu_t.new_parameters(), lr=LR)])
+    teacher_optim = ref.ema.EMAWeightOptimizer(tea_t, stu_t, ALPHA)
+    stu_t.train()
+    tea_t.train()
+    stu_t.freeze_batchnorm()
+    tea_t.freeze_batchnorm()
+    clf_crossent_loss = nn.CrossEntropyLoss(ignore_index=255)
+
+    model = SegModel(
+        name="deeplab2_tiny", module=DeepLab2(num_classes=C, layers=layers),
+        mean=np.zeros(3), std=np.ones(3), block_size=(1, 1),
+        param_label=_param_label, load_pretrained=None)
+    opt_cfg = OptimizerConfig(
+        opt_type="adam", learning_rate=LR,
+        lr_schedule=make_lr_schedule("none", LR, 1000))
+    state, tx = create_train_state(
+        model, opt_cfg, jax.random.PRNGKey(11), input_hw=(HW, HW),
+        mean_teacher=True, pretrained=False)
+    sd = {k: v.numpy().copy() for k, v in stu_t.state_dict().items()}
+    params_u, stats_u = torch_import.map_torch_resnet(sd)
+    head_u = torch_import.map_hung_deeplab_classifier(sd)
+    variables = {"params": state.student.params,
+                 "batch_stats": state.student.batch_stats}
+    variables, _, sk1 = torch_import.merge_updates(
+        variables, {"backbone": params_u}, {"backbone": stats_u})
+    variables, _, sk2 = torch_import.merge_updates(
+        variables, {"classifier": head_u}, {})
+    assert sk1 == 0 and sk2 == 0
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = TrainState(
+        step=state.step,
+        student=ModelState(params=variables["params"],
+                           batch_stats=variables["batch_stats"]),
+        teacher=ModelState(params=copy(variables["params"]),
+                           batch_stats=copy(variables["batch_stats"])),
+        opt_state=tx.init(variables["params"]),
+        rng=state.rng,
+    )
+
+    cfg = MaskConsistencyConfig(
+        mask_mode="zero", box=box, cons_loss_fn="var", cons_weight=CW,
+        conf_thresh=CONF, conf_per_pixel=False, freeze_bn=True,
+        mean_teacher=True, teacher_alpha=ALPHA, pallas_cutmix="off")
+    step = jax.jit(make_mask_mt_step(model, tx, cfg))
+
+    rng = np.random.RandomState(5)
+
+    def rand_batch():
+        b = {
+            "sup_x": rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32),
+            "sup_y": rng.randint(0, C, (B, HW, HW)).astype(np.int32),
+        }
+        x = rng.normal(0, 1, (B, HW, HW, 3)).astype(np.float32)
+        b["ux_tea"] = x
+        b["ux_stu"] = x
+        um = np.ones((B, HW, HW, 1), np.float32)
+        y0, x0 = rng.randint(0, HW, 2)
+        um[:, y0:, x0:] = 0.0
+        b["um"] = um
+        return b
+
+    t = lambda a: torch.tensor(np.transpose(a, (0, 3, 1, 2)))
+
+    ref_sup, ref_cons, ref_conf = [], [], []
+    our_sup, our_cons, our_conf = [], [], []
+    for it in range(N_STEPS):
+        batch = rand_batch()
+        k_mask = jax.random.split(state.rng, 5)[1]
+        masks = np.asarray(sample_masks(box, k_mask, B, (HW, HW),
+                                        dtype=jnp.float32))
+
+        # ---- the reference's literal cut iteration ----
+        student_optim.zero_grad()
+        logits_sup = stu_t(t(batch["sup_x"]))
+        sup_loss = clf_crossent_loss(
+            logits_sup, torch.tensor(batch["sup_y"].astype(np.int64)))
+        sup_loss.backward()
+
+        m_t = torch.tensor(np.transpose(masks, (0, 3, 1, 2)))
+        ux_cut = t(batch["ux_stu"]) * m_t
+        with torch.no_grad():
+            logits_tea = tea_t(t(batch["ux_tea"])).detach()
+        logits_stu = stu_t(ux_cut)
+        prob_tea = F.softmax(logits_tea, dim=1)
+        prob_stu = F.softmax(logits_stu, dim=1)
+        loss_mask = m_t * torch.tensor(
+            np.transpose(batch["um"], (0, 3, 1, 2)))
+        conf_tea = prob_tea.max(dim=1)[0]
+        conf_mask = (conf_tea >= CONF).float()[:, None, :, :]
+        ref_conf.append(float(conf_mask.mean()))
+        loss_mask = loss_mask * conf_mask.mean()
+        delta = prob_stu - prob_tea
+        cons = (delta * delta).sum(dim=1, keepdim=True)
+        cons = (cons * loss_mask).mean()
+        (cons * CW).backward()
+        student_optim.step()
+        teacher_optim.step()
+        ref_sup.append(float(sup_loss.detach()))
+        ref_cons.append(float(cons.detach()))
+
+        # ---- our fused step ----
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()},
+                              jnp.float32(1.0))
+        our_sup.append(float(metrics["sup_loss"]))
+        our_cons.append(float(metrics["cons_loss"]))
+        our_conf.append(float(metrics["conf_rate"]))
+
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_cons, ref_cons, rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(our_conf, ref_conf, rtol=0, atol=2e-3)
+
+    fin = stu_t.state_dict()
+    our_w = np.asarray(state.student.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_w, fin["layer5.conv2d_list.0.weight"].numpy(), atol=5e-4)
+    tea_fin = tea_t.state_dict()
+    our_tw = np.asarray(state.teacher.params["classifier"]["aspp0"][
+        "kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(
+        our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=5e-4)
