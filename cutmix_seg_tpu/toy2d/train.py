@@ -24,6 +24,7 @@ import click
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from cutmix_seg_tpu.core import job
 from cutmix_seg_tpu.core.train_state import ModelState
@@ -57,6 +58,168 @@ def _sample_dist_map(dist_map, pts_yx):
 
 def _robust_bce(pred, tgt):
     return -(tgt * jnp.log(pred + 1e-6) + (1 - tgt) * jnp.log(1 - pred + 1e-6))
+
+
+class Toy2DAlgo:
+    """The toy2d algorithm core — forward wrapper, confidence/dist-map
+    gating, consistency menu, the ONE fused train step, prediction and the
+    Figure-3 gradient-magnitude probe — at module level so the shipped step
+    is executable outside the CLI trainer (in particular by the
+    live-reference trajectory differential). Semantics unchanged from the
+    previous in-trainer closures (reference: toy2d_train.py:146-206,
+    233-278,325-443)."""
+
+    def __init__(self, net, tx, *, model, cons_weight, cons_loss_fn,
+                 cons_no_dropout, conf_thresh, conf_avg, teacher_alpha,
+                 pstd_real, dist_contour_range=0.0, dist_map=None):
+        self.net = net
+        self.tx = tx
+        self.model = model
+        self.mean_teacher = model == "mean_teacher"
+        self.cons_weight = cons_weight
+        self.cons_loss_fn = cons_loss_fn
+        self.use_dropout_cons = not cons_no_dropout
+        self.conf_thresh = conf_thresh
+        self.conf_avg = conf_avg
+        self.teacher_alpha = teacher_alpha
+        self.pstd_real = jnp.asarray(pstd_real, jnp.float32)
+        self.dist_contour_range = dist_contour_range
+        self.dist_map = dist_map
+        self.train_step = jax.jit(self._train_step)
+        self.predict = jax.jit(self._predict)
+
+    def fwd(self, params, stats, x, *, train, use_dropout, drop_key):
+        variables = {"params": params}
+        has_stats = bool(stats)
+        if has_stats:
+            variables["batch_stats"] = stats
+        rngs = {"dropout": drop_key} if drop_key is not None else None
+        if train and has_stats:
+            out, upd = self.net.apply(variables, x, train=train,
+                                      use_dropout=use_dropout,
+                                      mutable=["batch_stats"], rngs=rngs)
+            return out, upd["batch_stats"]
+        return self.net.apply(variables, x, train=train,
+                              use_dropout=use_dropout, rngs=rngs), stats
+
+    def conf_factor(self, prob_tea):
+        conf = prob_tea.max(axis=1)
+        fac = ((conf >= self.conf_thresh).astype(jnp.float32)
+               if self.conf_thresh > 0.0 else jnp.ones_like(conf))
+        if self.conf_avg:
+            fac = jnp.ones_like(fac) * fac.mean()
+        return fac
+
+    def dist_weight(self, xu, xu1):
+        if self.dist_map is None or self.dist_contour_range <= 0:
+            return jnp.ones((xu.shape[0],), jnp.float32)
+        d0 = _sample_dist_map(self.dist_map, xu)
+        d1 = _sample_dist_map(self.dist_map, xu1)
+        return ((d0 - d1) ** 2
+                <= self.dist_contour_range ** 2).astype(jnp.float32)
+
+    def cons_terms(self, stu_logits, tea_logits, mod_fac, weight):
+        p_stu = jax.nn.softmax(stu_logits, axis=1)
+        p_tea = jax.nn.softmax(tea_logits, axis=1)
+        if self.cons_loss_fn == "bce":
+            per = _robust_bce(p_stu, p_tea).mean(axis=1)
+        elif self.cons_loss_fn == "var":
+            d = p_stu - p_tea
+            per = (d * d).mean(axis=1)
+        elif self.cons_loss_fn == "logits_var":
+            d = stu_logits - tea_logits
+            per = (d * d).mean(axis=1)
+        else:
+            raise ValueError(self.cons_loss_fn)
+        return (per * mod_fac).sum() / jnp.maximum(weight.sum(), 1e-12)
+
+    def _train_step(self, student, teacher, opt_state, key, sup_x, sup_y,
+                    unsup_x):
+        key, k_noise, k_d1, k_d2, k_d3 = jax.random.split(key, 5)
+        unsup_x1 = unsup_x + jax.random.normal(
+            k_noise, unsup_x.shape) * self.pstd_real[None, :]
+
+        tea_model = teacher if self.mean_teacher else None
+        use_dropout_cons = self.use_dropout_cons
+
+        def loss_fn(params):
+            stats = student.batch_stats
+            sup_logits, stats = self.fwd(params, stats, sup_x, train=True,
+                                         use_dropout=True, drop_key=k_d1)
+            logp = jax.nn.log_softmax(sup_logits, axis=1)
+            sup_loss = -jnp.take_along_axis(
+                logp, sup_y[:, None], axis=1).mean()
+
+            metrics = {"sup_loss": sup_loss}
+            total = sup_loss
+            if self.cons_weight > 0.0:
+                if self.mean_teacher:
+                    tea_logits, _ = self.fwd(
+                        tea_model.params, tea_model.batch_stats, unsup_x,
+                        train=True, use_dropout=use_dropout_cons,
+                        drop_key=k_d2)
+                    tea_logits = jax.lax.stop_gradient(tea_logits)
+                    stu_logits, stats = self.fwd(
+                        params, stats, unsup_x1, train=True,
+                        use_dropout=use_dropout_cons, drop_key=k_d3)
+                elif self.model == "pi":
+                    # both branches through the student, gradient flows
+                    tea_logits, stats = self.fwd(
+                        params, stats, unsup_x, train=True,
+                        use_dropout=use_dropout_cons, drop_key=k_d2)
+                    stu_logits, stats = self.fwd(
+                        params, stats, unsup_x1, train=True,
+                        use_dropout=use_dropout_cons, drop_key=k_d3)
+                else:  # pi_onebatch
+                    both = jnp.concatenate([unsup_x, unsup_x1], axis=0)
+                    logits, stats = self.fwd(
+                        params, stats, both, train=True,
+                        use_dropout=use_dropout_cons, drop_key=k_d2)
+                    tea_logits = logits[: unsup_x.shape[0]]
+                    stu_logits = logits[unsup_x.shape[0]:]
+
+                weight = self.dist_weight(unsup_x, unsup_x1)
+                p_tea = jax.nn.softmax(
+                    jax.lax.stop_gradient(tea_logits), axis=1)
+                cfac = self.conf_factor(p_tea)
+                mod_fac = cfac * weight
+                cons_loss = self.cons_terms(stu_logits, tea_logits,
+                                            mod_fac, weight)
+                total = total + cons_loss * self.cons_weight
+                metrics["cons_loss"] = cons_loss
+                metrics["conf_sum"] = cfac.sum()
+            return total, (stats, metrics)
+
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            student.params)
+        updates, opt_state = self.tx.update(grads, opt_state, student.params)
+        new_params = optax.apply_updates(student.params, updates)
+        new_student = ModelState(params=new_params, batch_stats=new_stats)
+        new_teacher = (ema_update(teacher, new_student, self.teacher_alpha)
+                       if self.mean_teacher else teacher)
+        return new_student, new_teacher, opt_state, key, metrics
+
+    def _predict(self, model_state, x):
+        logits, _ = self.fwd(model_state.params, model_state.batch_stats, x,
+                             train=False, use_dropout=True, drop_key=None)
+        return logits
+
+    def cons_grad_mag(self, model_state, student, x, key):
+        """|d cons_loss / d student logits| per point, for the Figure-3
+        gradient render (reference: toy2d_train.py:233-278)."""
+        k_noise, k_d = jax.random.split(key)
+        x1 = x + jax.random.normal(k_noise, x.shape) * self.pstd_real[None, :]
+        tea_logits = self.predict(model_state, x)
+        weight = self.dist_weight(x, x1)
+        p_tea = jax.nn.softmax(tea_logits, axis=1)
+        mod_fac = self.conf_factor(p_tea) * weight
+
+        def loss_of_logits(stu_logits):
+            return self.cons_terms(stu_logits, tea_logits, mod_fac, weight)
+
+        stu_logits = self.predict(student, x1)
+        g = jax.grad(loss_of_logits)(stu_logits)
+        return jnp.sqrt((g * g).sum(axis=1))
 
 
 def train_toy2d(ctx: job.RunContext, dataset, region_erode_radius,
@@ -127,141 +290,22 @@ def train_toy2d(ctx: job.RunContext, dataset, region_erode_radius,
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
-    mean_teacher = model == "mean_teacher"
-    has_stats = bool(stats)
-
-    def fwd(params, stats, x, *, train, use_dropout, drop_key):
-        variables = {"params": params}
-        if has_stats:
-            variables["batch_stats"] = stats
-        rngs = {"dropout": drop_key} if drop_key is not None else None
-        if train and has_stats:
-            out, upd = net.apply(variables, x, train=train,
-                                 use_dropout=use_dropout,
-                                 mutable=["batch_stats"], rngs=rngs)
-            return out, upd["batch_stats"]
-        return net.apply(variables, x, train=train, use_dropout=use_dropout,
-                         rngs=rngs), stats
-
-    def conf_factor(prob_tea):
-        conf = prob_tea.max(axis=1)
-        fac = ((conf >= conf_thresh).astype(jnp.float32)
-               if conf_thresh > 0.0 else jnp.ones_like(conf))
-        if conf_avg:
-            fac = jnp.ones_like(fac) * fac.mean()
-        return fac
-
-    def dist_weight(xu, xu1):
-        if dist_map is None or dist_contour_range <= 0:
-            return jnp.ones((xu.shape[0],), jnp.float32)
-        d0 = _sample_dist_map(dist_map, xu)
-        d1 = _sample_dist_map(dist_map, xu1)
-        return ((d0 - d1) ** 2 <= dist_contour_range ** 2).astype(jnp.float32)
-
-    def cons_terms(stu_logits, tea_logits, mod_fac, weight):
-        p_stu = jax.nn.softmax(stu_logits, axis=1)
-        p_tea = jax.nn.softmax(tea_logits, axis=1)
-        if cons_loss_fn == "bce":
-            per = _robust_bce(p_stu, p_tea).mean(axis=1)
-        elif cons_loss_fn == "var":
-            d = p_stu - p_tea
-            per = (d * d).mean(axis=1)
-        elif cons_loss_fn == "logits_var":
-            d = stu_logits - tea_logits
-            per = (d * d).mean(axis=1)
-        else:
-            raise ValueError(cons_loss_fn)
-        return (per * mod_fac).sum() / jnp.maximum(weight.sum(), 1e-12)
-
-    use_dropout_cons = not cons_no_dropout
-
-    @jax.jit
-    def train_step(student, teacher, opt_state, key, sup_x, sup_y, unsup_x):
-        key, k_noise, k_d1, k_d2, k_d3 = jax.random.split(key, 5)
-        unsup_x1 = unsup_x + jax.random.normal(
-            k_noise, unsup_x.shape) * pstd_real[None, :]
-
-        tea_model = teacher if mean_teacher else None
-
-        def loss_fn(params):
-            stats = student.batch_stats
-            sup_logits, stats = fwd(params, stats, sup_x, train=True,
-                                    use_dropout=True, drop_key=k_d1)
-            logp = jax.nn.log_softmax(sup_logits, axis=1)
-            sup_loss = -jnp.take_along_axis(
-                logp, sup_y[:, None], axis=1).mean()
-
-            metrics = {"sup_loss": sup_loss}
-            total = sup_loss
-            if cons_weight > 0.0:
-                if mean_teacher:
-                    tea_logits, _ = fwd(
-                        tea_model.params, tea_model.batch_stats, unsup_x,
-                        train=True, use_dropout=use_dropout_cons, drop_key=k_d2)
-                    tea_logits = jax.lax.stop_gradient(tea_logits)
-                    stu_logits, stats = fwd(params, stats, unsup_x1, train=True,
-                                            use_dropout=use_dropout_cons,
-                                            drop_key=k_d3)
-                elif model == "pi":
-                    # both branches through the student, gradient flows
-                    tea_logits, stats = fwd(params, stats, unsup_x, train=True,
-                                            use_dropout=use_dropout_cons,
-                                            drop_key=k_d2)
-                    stu_logits, stats = fwd(params, stats, unsup_x1, train=True,
-                                            use_dropout=use_dropout_cons,
-                                            drop_key=k_d3)
-                else:  # pi_onebatch
-                    both = jnp.concatenate([unsup_x, unsup_x1], axis=0)
-                    logits, stats = fwd(params, stats, both, train=True,
-                                        use_dropout=use_dropout_cons,
-                                        drop_key=k_d2)
-                    tea_logits = logits[: unsup_x.shape[0]]
-                    stu_logits = logits[unsup_x.shape[0]:]
-
-                weight = dist_weight(unsup_x, unsup_x1)
-                p_tea = jax.nn.softmax(jax.lax.stop_gradient(tea_logits), axis=1)
-                cfac = conf_factor(p_tea)
-                mod_fac = cfac * weight
-                cons_loss = cons_terms(stu_logits, tea_logits, mod_fac, weight)
-                total = total + cons_loss * cons_weight
-                metrics["cons_loss"] = cons_loss
-                metrics["conf_sum"] = cfac.sum()
-            return total, (stats, metrics)
-
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            student.params)
-        updates, opt_state = tx.update(grads, opt_state, student.params)
-        new_params = optax.apply_updates(student.params, updates)
-        new_student = ModelState(params=new_params, batch_stats=new_stats)
-        new_teacher = (ema_update(teacher, new_student, teacher_alpha)
-                       if mean_teacher else teacher)
-        return new_student, new_teacher, opt_state, key, metrics
-
-    @jax.jit
-    def predict(model_state, x):
-        logits, _ = fwd(model_state.params, model_state.batch_stats, x,
-                        train=False, use_dropout=True, drop_key=None)
-        return logits
+    algo = Toy2DAlgo(net, tx, model=model, cons_weight=cons_weight,
+                     cons_loss_fn=cons_loss_fn,
+                     cons_no_dropout=cons_no_dropout,
+                     conf_thresh=conf_thresh, conf_avg=conf_avg,
+                     teacher_alpha=teacher_alpha, pstd_real=pstd_real,
+                     dist_contour_range=dist_contour_range,
+                     dist_map=dist_map)
+    mean_teacher = algo.mean_teacher
+    train_step = algo.train_step
+    predict = algo.predict
 
     def pred_state():
         return teacher if mean_teacher else student
 
     def cons_grad_mag(model_state, x, key):
-        """|d cons_loss / d student logits| per point, for the Figure-3
-        gradient render (reference: toy2d_train.py:233-278)."""
-        k_noise, k_d = jax.random.split(key)
-        x1 = x + jax.random.normal(k_noise, x.shape) * pstd_real[None, :]
-        tea_logits = predict(model_state, x)
-        weight = dist_weight(x, x1)
-        p_tea = jax.nn.softmax(tea_logits, axis=1)
-        mod_fac = conf_factor(p_tea) * weight
-
-        def loss_of_logits(stu_logits):
-            return cons_terms(stu_logits, tea_logits, mod_fac, weight)
-
-        stu_logits = predict(student, x1)
-        g = jax.grad(loss_of_logits)(stu_logits)
-        return jnp.sqrt((g * g).sum(axis=1))
+        return algo.cons_grad_mag(model_state, student, x, key)
 
     # ---- rendering ----
     def render(key):

@@ -2167,3 +2167,203 @@ def test_cutout_step_trajectory_matches_reference_trainer(ref):
         "kernel"]).transpose(3, 2, 0, 1)
     np.testing.assert_allclose(
         our_tw, tea_fin["layer5.conv2d_list.0.weight"].numpy(), atol=5e-4)
+
+
+@pytest.mark.parametrize("variant", ["mean_teacher", "pi"])
+def test_toy2d_step_trajectory_matches_reference_trainer(ref, variant):
+    """Toy2D trainer-trajectory differential — the one trainer family that
+    was unit-only through round 4 (toy2d_train.py:325-443): the reference's
+    literal inner loop (Gaussian-perturbation consistency, per-sample
+    confidence factor, distance-map contour gating via F.grid_sample, the
+    sum/weight.sum normaliser, ONE combined backward, single-LR Adam, its
+    own EMAWeightOptimizer) against our shipped Toy2DAlgo.train_step, from
+    identical imported MLP weights, identical perturbation noise and an
+    identical synthetic distance map, for 8 steps, in both the mean_teacher
+    and pi variants (:355-366).
+
+    Dropout is the one part disabled on BOTH sides (reference nets held in
+    eval() so nn.Dropout is identity; our net built without the dropout
+    layer): its draws cannot be aligned across frameworks. Everything else
+    is the literal loop."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as fnn
+
+    from cutmix_seg_tpu.core.train_state import ModelState
+    from cutmix_seg_tpu.toy2d.train import Toy2DAlgo
+
+    N_HID, HID, B, N_STEPS = 2, 32, 8, 8
+    LR, ALPHA, CW, CONF, DCR = 2e-3, 0.95, 1.0, 0.3, 0.4
+    PSTD = np.array([0.15, 0.15], np.float32)
+
+    # ---- reference side: the Network the trainer builds inline
+    # (toy2d_train.py:83-122, norm_layer='none', hidden_act='relu'),
+    # dropout inactive via eval() mode ----
+    torch.manual_seed(3)
+
+    class RefNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.drop = tnn.Dropout()
+            hidden = []
+            chn_in = 2
+            for _ in range(N_HID):
+                hidden.append(tnn.Linear(chn_in, HID))
+                hidden.append(tnn.ReLU())
+                chn_in = HID
+            self.hidden = tnn.Sequential(*hidden)
+            self.l_final = tnn.Linear(chn_in, 2)
+
+        def forward(self, x, use_dropout=True):
+            x = self.hidden(x)
+            if use_dropout:
+                x = self.drop(x)
+            return self.l_final(x)
+
+    stu_t = RefNet()
+    mean_teacher = variant == "mean_teacher"
+    if mean_teacher:
+        tea_t = RefNet()
+        for p in tea_t.parameters():
+            p.requires_grad = False
+        teacher_optim = ref.ema.EMAWeightOptimizer(tea_t, stu_t, ALPHA)
+    else:
+        tea_t, teacher_optim = stu_t, None
+    stu_t.eval()
+    tea_t.eval()
+    student_optim = torch.optim.Adam(stu_t.parameters(), lr=LR)
+    classification_criterion = tnn.CrossEntropyLoss()
+
+    def robust_binary_crossentropy(pred, tgt):  # :146-149, verbatim
+        inv_tgt = -tgt + 1.0
+        inv_pred = -pred + 1.0 + 1e-6
+        return -(tgt * torch.log(pred + 1.0e-6) + inv_tgt * torch.log(inv_pred))
+
+    rng = np.random.RandomState(0)
+    dist_map_np = rng.normal(0, 1, (16, 16)).astype(np.float32)
+    for _ in range(3):  # smooth it a bit: contours exist
+        dist_map_np = (dist_map_np
+                       + np.roll(dist_map_np, 1, 0) + np.roll(dist_map_np, -1, 0)
+                       + np.roll(dist_map_np, 1, 1) + np.roll(dist_map_np, -1, 1)) / 5.0
+    t_dist_map = torch.tensor(dist_map_np[None, None])
+
+    def dist_map_weighting(batch_u_X, batch_u_X_1):  # :172-206, verbatim
+        sample_points_0 = torch.cat([batch_u_X[:, 1].view(1, 1, -1, 1),
+                                     batch_u_X[:, 0].view(1, 1, -1, 1)], dim=3)
+        sample_points_1 = torch.cat([batch_u_X_1[:, 1].view(1, 1, -1, 1),
+                                     batch_u_X_1[:, 0].view(1, 1, -1, 1)], dim=3)
+        sample_points = torch.cat([sample_points_0, sample_points_1], dim=1)
+        dist_from_boundary = F.grid_sample(t_dist_map, sample_points,
+                                           align_corners=False)
+        delta_dist_sqr = (dist_from_boundary[0, 0, 0, :]
+                          - dist_from_boundary[0, 0, 1, :]).pow(2)
+        return (delta_dist_sqr <= (DCR * DCR)).float()
+
+    def conf_factor_t(teacher_pred_prob):  # :157-168, conf_avg=False
+        conf_tea = torch.max(teacher_pred_prob, 1)[0].detach()
+        return (conf_tea >= CONF).float()
+
+    # ---- our side: the shipped step with a dropout-free MLP ----
+    class NoDropMLP(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train: bool, use_dropout: bool = True):
+            for i in range(N_HID):
+                x = fnn.relu(fnn.Dense(HID, name=f"dense{i}")(x))
+            return fnn.Dense(2, name="final")(x)
+
+    net = NoDropMLP()
+    tx = optax.adam(LR)
+    algo = Toy2DAlgo(net, tx, model=variant, cons_weight=CW,
+                     cons_loss_fn="var", cons_no_dropout=True,
+                     conf_thresh=CONF, conf_avg=False, teacher_alpha=ALPHA,
+                     pstd_real=PSTD, dist_contour_range=DCR,
+                     dist_map=jnp.asarray(dist_map_np))
+
+    sd = {k: v.detach().numpy().copy() for k, v in stu_t.state_dict().items()}
+    params = {}
+    for i in range(N_HID):
+        params[f"dense{i}"] = {
+            "kernel": jnp.asarray(sd[f"hidden.{2 * i}.weight"].T),
+            "bias": jnp.asarray(sd[f"hidden.{2 * i}.bias"])}
+    params["final"] = {"kernel": jnp.asarray(sd["l_final.weight"].T),
+                       "bias": jnp.asarray(sd["l_final.bias"])}
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    student = ModelState(params=params, batch_stats={})
+    teacher = (ModelState(params=copy(params), batch_stats={})
+               if mean_teacher else None)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(9)
+
+    ref_sup, ref_cons, ref_conf = [], [], []
+    our_sup, our_cons, our_conf = [], [], []
+    for it in range(N_STEPS):
+        sup_x = rng.uniform(-1, 1, (B, 2)).astype(np.float32)
+        sup_y = rng.randint(0, 2, (B,))
+        unsup_x = rng.uniform(-1, 1, (B, 2)).astype(np.float32)
+        # reproduce the noise OUR step will draw so the reference loop
+        # consumes the IDENTICAL perturbation (same substitution the seg
+        # trajectory differentials make for the CutMix masks)
+        k_noise = jax.random.split(key, 5)[1]
+        noise = np.asarray(jax.random.normal(k_noise, unsup_x.shape)
+                           ) * PSTD[None, :]
+
+        # ---- the reference's literal iteration (:334-414) ----
+        batch_X = torch.tensor(sup_x)
+        batch_y = torch.tensor(sup_y, dtype=torch.long)
+        batch_u_X = torch.tensor(unsup_x)
+        batch_u_X_1 = batch_u_X + torch.tensor(noise)
+        student_optim.zero_grad()
+        student_sup_logits = stu_t(batch_X)
+        sup_loss = classification_criterion(student_sup_logits, batch_y)
+        if mean_teacher:
+            teacher_unsup_logits = tea_t(batch_u_X, use_dropout=False).detach()
+            student_unsup_logits = stu_t(batch_u_X_1, use_dropout=False)
+        else:  # pi: both through the student, gradient flows through both
+            teacher_unsup_logits = stu_t(batch_u_X, use_dropout=False)
+            student_unsup_logits = stu_t(batch_u_X_1, use_dropout=False)
+        teacher_unsup_prob = F.softmax(teacher_unsup_logits, dim=1)
+        student_unsup_prob = F.softmax(student_unsup_logits, dim=1)
+        weight = dist_map_weighting(batch_u_X, batch_u_X_1)
+        conf_fac = conf_factor_t(teacher_unsup_prob)
+        mod_fac = conf_fac * weight
+        d_aug_loss = student_unsup_prob - teacher_unsup_prob
+        aug_loss = (d_aug_loss * d_aug_loss).mean(dim=1) * mod_fac
+        cons_loss = aug_loss.sum() / weight.sum()
+        loss = sup_loss + cons_loss * CW
+        loss.backward()
+        student_optim.step()
+        if teacher_optim is not None:
+            teacher_optim.step()
+        ref_sup.append(float(sup_loss.detach()))
+        ref_cons.append(float(cons_loss.detach()))
+        ref_conf.append(float(conf_fac.sum()))
+
+        # ---- our shipped step ----
+        student, teacher, opt_state, key, metrics = algo.train_step(
+            student, teacher, opt_state, key, jnp.asarray(sup_x),
+            jnp.asarray(sup_y, jnp.int32), jnp.asarray(unsup_x))
+        our_sup.append(float(metrics["sup_loss"]))
+        our_cons.append(float(metrics["cons_loss"]))
+        our_conf.append(float(metrics["conf_sum"]))
+
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(our_cons, ref_cons, rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(our_conf, ref_conf, rtol=0, atol=1e-6)
+
+    fin = stu_t.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(student.params["final"]["kernel"]).T,
+        fin["l_final.weight"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(student.params["dense0"]["kernel"]).T,
+        fin["hidden.0.weight"].numpy(), atol=1e-5)
+    if mean_teacher:
+        tea_fin = tea_t.state_dict()
+        np.testing.assert_allclose(
+            np.asarray(teacher.params["final"]["kernel"]).T,
+            tea_fin["l_final.weight"].numpy(), atol=1e-5)
