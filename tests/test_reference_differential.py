@@ -2367,3 +2367,41 @@ def test_toy2d_step_trajectory_matches_reference_trainer(ref, variant):
         np.testing.assert_allclose(
             np.asarray(teacher.params["final"]["kernel"]).T,
             tea_fin["l_final.weight"].numpy(), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_long_horizon_drift_is_numerical_and_eval_paths_agree(ref):
+    """Round-5 VERDICT item 4a/4b, in-suite: 50 optimizer steps of the
+    mask_mt differential (scripts/trajectory_drift_probe.py::run — the
+    reference's literal loop vs our fused step from identical weights),
+    asserting the divergence is f32-accumulation-sized rather than a
+    semantic leak, the confidence gate stays bit-stable, and the two eval
+    procedures (the reference's per-sample argmax/EvaluatorIoU loop on its
+    final teacher vs our confusion-matrix path on ours) land on the same
+    val mIoU — with the cross-loaded control (identical reference teacher
+    weights through both eval paths) agreeing pixel-for-pixel."""
+    scripts_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from trajectory_drift_probe import run
+    finally:
+        sys.path.remove(scripts_dir)
+
+    doc = run(n_steps=50, record_every=10)
+    s = doc["summary"]
+    assert s["max_rel_sup_second_half"] < 0.02, s
+    assert s["max_rel_cons_second_half"] < 0.05, s
+    assert s["conf_rate_max_abs_diff"] <= 5e-3, s
+    # drift must be numerical-sized in whichever regime the horizon is in:
+    # early, per-step rounding injection dominates (drift a small fraction
+    # of the distance the weights travelled); late, Lyapunov amplification
+    # dominates (drift comparable to the reference's own divergence from a
+    # 1e-7-perturbed copy of itself under the same batches — measured
+    # ratio 1.02 at 100 steps in the committed artifact)
+    fd = s["final_drift"]
+    assert (s["drift_vs_chaos_classifier"] < 3.0
+            or fd["stu_classifier_drift_over_movement"] < 0.15), s
+    e = doc["eval_parity"]
+    assert e["abs_miou_diff"] <= 0.02, e
+    assert e["crossload_pixel_agreement"] >= 0.995, e

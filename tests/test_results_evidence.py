@@ -394,3 +394,35 @@ def test_mfu_profile_artifact_parses():
     assert 15.0 < fs["pct_of_v5e_bf16_peak"] < 100.0
     assert fs["img_per_sec_per_chip"] > 60.0
     assert "isolated_conv_caveat" in d
+
+
+def test_trajectory_drift_artifact_parses():
+    """Round-5: the 100-step long-horizon differential drift curve + eval
+    parity point (scripts/trajectory_drift_probe.py). Divergence must be
+    numerical-accumulation-sized, the conf gate bit-stable, and the eval
+    parity point tight."""
+    path = os.path.join(ROOT, "trajectory_drift", "drift.json")
+    doc = json.load(open(path))
+    assert doc["config"]["n_steps"] >= 100
+    s = doc["summary"]
+    # f32-accumulation scale, not a semantic leak
+    assert s["max_rel_sup_second_half"] < 0.02
+    assert s["max_rel_cons_second_half"] < 0.05
+    assert s["conf_rate_max_abs_diff"] <= 5e-3
+    # the semantic criterion: our cross-framework drift must be comparable
+    # to the reference's OWN chaotic divergence from a 1e-7-perturbed copy
+    # of itself under the same batches (measured 1.02x at 100 steps) —
+    # absolute drift grows with horizon through Adam's sign-normalised
+    # updates even between two runs of the same code — or, in the early
+    # injection-dominated regime, a small fraction of the weight movement
+    fd = s["final_drift"]
+    assert (s["drift_vs_chaos_classifier"] < 3.0
+            or fd["stu_classifier_drift_over_movement"] < 0.15)
+    n = doc["config"]["n_steps"]
+    assert len(doc["per_step"]["ref_sup"]) == n
+    assert len(doc["rel_diff"]["sup"]) == n
+    assert len(doc["drift_curve"]) >= n // doc["config"].get("record", 5)
+    e = doc["eval_parity"]
+    assert e["abs_miou_diff"] <= 0.02
+    # identical weights through both eval paths: near-total agreement
+    assert e["crossload_pixel_agreement"] >= 0.995
