@@ -337,6 +337,35 @@ def test_voc_matched_pair_artifact_parses():
     assert "+1.18" in report and "0.97" in report
 
 
+def test_voc_multiseed_artifact_parses():
+    """Round-5 error bars on the matched-budget triple (VERDICT item 3):
+    n>=3 seeds, per-seed deltas recorded, and the report must RETRACT the
+    n=1 headline — the honest finding is that from random init at this
+    scale the semisup effect is below seed noise (mean negative, 1/3
+    positive), with the mechanism documented."""
+    d = os.path.join(ROOT, "voc_matched_pair", "multiseed")
+    s = json.load(open(os.path.join(d, "summary.json")))
+    assert len(s["seeds"]) >= 3
+    for semi in ("semisup96", "semisup97"):
+        dl = s["deltas_miou_points"][semi]
+        assert dl["n_seeds"] == len(s["seeds"])
+        assert len(dl["delta_per_seed"]) == dl["n_seeds"]
+        # the committed measurement: NOT sign-stable positive
+        assert dl["positive_seeds"] < dl["n_seeds"]
+        # mean within ~2 std of zero (below seed noise), and every seed's
+        # full metrics file is committed alongside
+        assert abs(dl["delta_mean"]) < 2.0 * dl["delta_std"]
+    for seed in s["seeds"]:
+        if seed == 0:
+            continue  # seed 0 = the round-4 run, one directory up
+        for arm in ("supervised96", "semisup96", "semisup97"):
+            path = os.path.join(d, f"metrics_{arm}_s{seed}.jsonl")
+            recs = [json.loads(ln) for ln in open(path)]
+            assert recs[-1]["epoch"] == 96, (seed, arm)
+    report = open(os.path.join(d, "report.md")).read()
+    assert "retract" in report.lower() and "seed luck" in report
+
+
 def test_reference_baseline_artifact_parses():
     """Round-4 measured baseline anchor: the reference's own torch-CPU
     iteration timed on this host; the committed TPU-vs-reference-CPU ratio
