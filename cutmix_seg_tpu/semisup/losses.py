@@ -18,12 +18,17 @@ EPS_BCE = 1e-6
 
 
 def cross_entropy_ignore(
-    logits: jnp.ndarray, labels: jnp.ndarray, ignore_value: int = 255
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_value: int = 255,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Mean softmax cross-entropy over non-ignored pixels.
 
     Matches torch nn.CrossEntropyLoss(ignore_index=255) semantics: the mean is
     taken over valid pixels only (reference: train_seg_semisup_mask_mt.py:126,300).
+
+    ``compute_dtype`` is the dtype of the log-softmax chain (the full
+    (N,H,W,C)-scale tensors); the masked pixel sum always accumulates in
+    f32. bfloat16 halves the chain's HBM width (--loss_softmax_dtype).
 
     :param logits: (N, H, W, C) float
     :param labels: (N, H, W) int
@@ -31,8 +36,9 @@ def cross_entropy_ignore(
     num_classes = logits.shape[-1]
     valid = labels != ignore_value
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    picked = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    logp = jax.nn.log_softmax(logits.astype(compute_dtype), axis=-1)
+    picked = jnp.take_along_axis(
+        logp, safe_labels[..., None], axis=-1)[..., 0].astype(jnp.float32)
     losses = jnp.where(valid, -picked, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
     return losses.sum() / denom
@@ -49,36 +55,46 @@ def consistency_loss_per_pixel(
     loss_fn: str,
     logits_stu: jnp.ndarray,
     logits_tea: jnp.ndarray,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Per-pixel consistency loss (N, H, W, 1), class dim aggregated.
 
     loss_fn: 'var' | 'logits_var' | 'logits_smoothl1' | 'bce' | 'kld'
+
+    ``compute_dtype`` is the dtype of the softmax/difference chain (the
+    (N,H,W,C)-scale tensors); the per-pixel class sum is returned in f32 so
+    downstream masked means always accumulate full-width
+    (--loss_softmax_dtype bfloat16 halves the chain's HBM width).
     """
     num_classes = logits_stu.shape[-1]
-    root_c = jnp.sqrt(jnp.float32(num_classes))
-    logits_stu = logits_stu.astype(jnp.float32)
-    logits_tea = logits_tea.astype(jnp.float32)
+    root_c = jnp.sqrt(jnp.float32(num_classes)).astype(compute_dtype)
+    logits_stu = logits_stu.astype(compute_dtype)
+    logits_tea = logits_tea.astype(compute_dtype)
+
+    def f32(x):
+        return x.astype(jnp.float32)
 
     if loss_fn == "var":
         d = jax.nn.softmax(logits_stu, axis=-1) - jax.nn.softmax(logits_tea, axis=-1)
-        return (d * d).sum(axis=-1, keepdims=True)
+        return f32((d * d).sum(axis=-1, keepdims=True))
     if loss_fn == "logits_var":
         d = logits_stu - logits_tea
-        return (d * d).sum(axis=-1, keepdims=True) / root_c
+        return f32((d * d).sum(axis=-1, keepdims=True) / root_c)
     if loss_fn == "logits_smoothl1":
         d = jnp.abs(logits_stu - logits_tea)
         l = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
-        return l.sum(axis=-1, keepdims=True) / root_c
+        return f32(l.sum(axis=-1, keepdims=True) / root_c)
     if loss_fn == "bce":
         p_stu = jax.nn.softmax(logits_stu, axis=-1)
         p_tea = jax.nn.softmax(logits_tea, axis=-1)
-        return robust_binary_crossentropy(p_stu, p_tea).sum(axis=-1, keepdims=True)
+        return f32(robust_binary_crossentropy(p_stu, p_tea).sum(
+            axis=-1, keepdims=True))
     if loss_fn == "kld":
         logp_stu = jax.nn.log_softmax(logits_stu, axis=-1)
         p_tea = jax.nn.softmax(logits_tea, axis=-1)
         logp_tea = jax.nn.log_softmax(logits_tea, axis=-1)
         # KL(p_tea || p_stu) elementwise as torch F.kl_div(input=logp_stu, target=p_tea)
-        return (p_tea * (logp_tea - logp_stu)).sum(axis=-1, keepdims=True)
+        return f32((p_tea * (logp_tea - logp_stu)).sum(axis=-1, keepdims=True))
     raise ValueError(f"unknown consistency loss {loss_fn!r}")
 
 

@@ -68,6 +68,16 @@ class MaskConsistencyConfig(ConsistencyCommon):
     # identical math, trades cheap elementwise recompute for an HBM
     # residual round-trip.
     remat_loss_chain: bool = False
+    # Dtype of the loss-side softmax chains THEMSELVES (supervised
+    # log-softmax, consistency softmax/diff, confidence softmax-max):
+    # 'float32' (reference parity) or 'bfloat16'. This is the one lever
+    # cons_compute_dtype does not cover — that option halves the teacher
+    # LOGIT chain but the softmax arithmetic still ran f32. Gate-parity
+    # evidence: zero bf16-vs-f32 conf-gate flips over 10.3M pixels at a
+    # CONVERGED teacher at both 0.8 and 0.97
+    # (results_evidence/voc_matched_pair/summary.json). Pixel sums /
+    # masked means always accumulate f32 (losses.py).
+    loss_softmax_dtype: str = "float32"
 
 
 def _mix_geometry(cfg: MaskConsistencyConfig, batch, k_mask, mesh):
@@ -100,17 +110,19 @@ def _mix_geometry(cfg: MaskConsistencyConfig, batch, k_mask, mesh):
     return x_stu_cons, m, loss_mask
 
 
-def _ce_tail(logits, labels, ignore_value):
+def _ce_tail(logits, labels, ignore_value, compute_dtype=jnp.float32):
     """Supervised-CE tail as a named function so jax.checkpoint can
-    rematerialise its log-softmax instead of saving the (B, H, W, C) f32
+    rematerialise its log-softmax instead of saving the (B, H, W, C)
     residual (remat_loss_chain)."""
-    return L.cross_entropy_ignore(logits, labels, ignore_value)
+    return L.cross_entropy_ignore(logits, labels, ignore_value,
+                                  compute_dtype=compute_dtype)
 
 
-def _cons_tail(loss_fn, logits_stu, logits_tea):
+def _cons_tail(loss_fn, logits_stu, logits_tea, compute_dtype=jnp.float32):
     """Per-pixel consistency tail (softmax chains) as a named function for
     jax.checkpoint (remat_loss_chain)."""
-    return L.consistency_loss_per_pixel(loss_fn, logits_stu, logits_tea)
+    return L.consistency_loss_per_pixel(loss_fn, logits_stu, logits_tea,
+                                        compute_dtype=compute_dtype)
 
 
 def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
@@ -139,10 +151,12 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
         # the accum chunk losses are not wired for the loss-chain HBM
         # options; rejecting beats parse-and-ignore (the combination is
         # also redundant: accum already bounds peak activation memory)
-        if cfg.cons_compute_dtype != "float32" or cfg.remat_loss_chain:
+        if (cfg.cons_compute_dtype != "float32" or cfg.remat_loss_chain
+                or cfg.loss_softmax_dtype != "float32"):
             raise ValueError(
-                "cons_compute_dtype='bfloat16' / remat_loss_chain are not "
-                "supported with grad_accum > 1")
+                "cons_compute_dtype='bfloat16' / remat_loss_chain / "
+                "loss_softmax_dtype='bfloat16' are not supported with "
+                "grad_accum > 1")
         validate_accum(cfg, "mask_mt")
         return _make_accum_step(model, tx, cfg, mesh)
 
@@ -156,8 +170,10 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
         tea_stats = tea_state.batch_stats
 
         # consistency-chain HBM dtype (blended teacher logits ride at
-        # (R*B, H, W, C) scale; softmax/loss internals stay f32 and fuse)
+        # (R*B, H, W, C) scale) and loss-side softmax-chain dtype
         ldt = (jnp.bfloat16 if cfg.cons_compute_dtype == "bfloat16"
+               else jnp.float32)
+        sdt = (jnp.bfloat16 if cfg.loss_softmax_dtype == "bfloat16"
                else jnp.float32)
 
         # ---- teacher forwards + mixing geometry: all outside the grad ----
@@ -194,12 +210,12 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                     train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_tea)
                 logits_tea = logits_tea.astype(ldt)
             logits_tea = jax.lax.stop_gradient(logits_tea)
-            # confidence: softmax in f32 inside the fused max-reduction —
-            # only the (.., 1) max-prob map is materialised, never the
-            # (.., C) probability tensor
+            # confidence: softmax in the loss-softmax dtype inside the fused
+            # max-reduction — only the (.., 1) max-prob map is materialised,
+            # never the (.., C) probability tensor; the gate compare runs f32
             conf = jax.nn.softmax(
-                logits_tea.astype(jnp.float32), axis=-1
-            ).max(axis=-1, keepdims=True)
+                logits_tea.astype(sdt), axis=-1
+            ).max(axis=-1, keepdims=True).astype(jnp.float32)
             conf_px = confidence_px(cfg, conf)
             loss_mask = loss_mask.astype(jnp.float32)
 
@@ -227,9 +243,10 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                     train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_sup,
                 )
                 logits_stu = None
-            ce_fn = (jax.checkpoint(_ce_tail, static_argnums=(2,))
+            ce_fn = (jax.checkpoint(_ce_tail, static_argnums=(2, 3))
                      if cfg.remat_loss_chain else _ce_tail)
-            sup_loss = ce_fn(logits_sup, batch["sup_y"], cfg.ignore_value)
+            sup_loss = ce_fn(logits_sup, batch["sup_y"], cfg.ignore_value,
+                             sdt)
             metrics["sup_loss"] = sup_loss
             total = sup_loss
             if use_cons:
@@ -238,9 +255,11 @@ def make_mask_mt_step(model, tx, cfg: MaskConsistencyConfig, mesh=None):
                         model, params, stats, x_stu_cons,
                         train=True, freeze_bn=cfg.freeze_bn, rng=k_drop_uns,
                     )
-                cons_tail = (jax.checkpoint(_cons_tail, static_argnums=(0,))
+                cons_tail = (jax.checkpoint(_cons_tail,
+                                            static_argnums=(0, 3))
                              if cfg.remat_loss_chain else _cons_tail)
-                per_px = cons_tail(cfg.cons_loss_fn, logits_stu, logits_tea)
+                per_px = cons_tail(cfg.cons_loss_fn, logits_stu, logits_tea,
+                                   sdt)
                 loss_sum, loss_mean, conf_rate = masked_consistency(
                     cfg, per_px, loss_mask, conf_px)
                 total = total + loss_sum * ramp_val * cfg.cons_weight

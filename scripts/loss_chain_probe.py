@@ -9,6 +9,12 @@ bs10, 321^2, frozen BN) for four loss-chain variants in ONE process:
   bf16          cons_compute_dtype='bfloat16' (blended teacher logits ride
                 HBM at half width; parity-flagged)
   bf16+remat    both
+  softmax_bf16  loss_softmax_dtype='bfloat16' (the loss-side softmax chains
+                themselves — sup log-softmax, cons softmax/diff, confidence
+                softmax-max — run bf16; pixel sums accumulate f32).
+                Parity basis: zero bf16-vs-f32 gate flips over 10.3M pixels
+                at a converged teacher (voc_matched_pair/summary.json)
+  all_bf16      every loss-chain lever on (VERDICT r4 item 6 adopt-or-refute)
 
 and measures the bf16 confidence-gate flip fraction (pixels whose max-prob
 gate at conf_thresh=0.97 differs between the f32 and bf16 chains) after a
@@ -82,6 +88,10 @@ def main():
         ("bf16", dict(cons_compute_dtype="bfloat16")),
         ("bf16+remat", dict(cons_compute_dtype="bfloat16",
                             remat_loss_chain=True)),
+        ("softmax_bf16", dict(loss_softmax_dtype="bfloat16")),
+        ("all_bf16", dict(cons_compute_dtype="bfloat16",
+                          loss_softmax_dtype="bfloat16",
+                          remat_loss_chain=True)),
     ]
 
     n_chips = len(jax.devices())

@@ -495,6 +495,15 @@ def test_loss_chain_variants_match_reference_step():
     state, tx = create_train_state(
         model, opt_cfg, jax.random.PRNGKey(0), input_hw=(33, 33),
         mean_teacher=True, pretrained=False)
+    # teacher == student at init makes cons_loss degenerate (~1e-12), so the
+    # dtype comparisons below would compare rounding noise against rounding
+    # noise; perturb the teacher deterministically so the consistency chain
+    # carries a non-trivial signal for every variant
+    state = state.replace(teacher=state.teacher.replace(
+        params=jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jnp.sin(
+                jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape),
+            state.teacher.params)))
     rng = _np.random.RandomState(0)
     batch = make_batch(rng, b=4, hw=(17, 17), mode="mix")
     ramp = jnp.float32(1.0)
@@ -526,6 +535,27 @@ def test_loss_chain_variants_match_reference_step():
                     jax.tree_util.tree_leaves(s_ref.student.params)):
         _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
                                     atol=1e-4)
+
+    # loss_softmax_dtype='bfloat16': the softmax chains THEMSELVES in bf16
+    # (pixel sums still f32); stays within bf16 quantisation of the default
+    s_sm, m_sm = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(
+            loss_softmax_dtype="bfloat16", **common)))(state, batch, ramp)
+    _np.testing.assert_allclose(float(m_sm["cons_loss"]),
+                                float(m_ref["cons_loss"]), rtol=2e-2)
+    _np.testing.assert_allclose(float(m_sm["sup_loss"]),
+                                float(m_ref["sup_loss"]), rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sm.student.params),
+                    jax.tree_util.tree_leaves(s_ref.student.params)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=2e-4)
+    # and it composes with remat (checkpoint static-arg plumbing)
+    s_sr, m_sr = jax.jit(make_mask_mt_step(
+        model, tx, MaskConsistencyConfig(
+            loss_softmax_dtype="bfloat16", remat_loss_chain=True,
+            **common)))(state, batch, ramp)
+    _np.testing.assert_allclose(float(m_sr["cons_loss"]),
+                                float(m_sm["cons_loss"]), rtol=1e-6)
 
 
 def _algo_step_and_batch(algo, model, tx, rng, grad_accum=1, freeze_bn=True,
