@@ -45,12 +45,96 @@ from cutmix_seg_tpu.tools.synthetic_benchmark import make_image
 HW = (64, 64)
 C = 4
 AUG_MARGIN = 16
+TASK = "shapes"
+
+
+def make_image_large(rng, hw):
+    """Large-object variant of synthetic_benchmark.make_image: 1-3 shapes
+    with radii ~h/5..h/2, so a Cutout box (prop 0.0:1.0) typically erases
+    PART of an object while the rest stays visible — the context-
+    predictable regime where the paper finds Cutout positive on VOC
+    (reference: run_pascal_aug_experiments.sh:21,32; the 64x64 small-shape
+    task measured Cutout at -0.3 +/- 2.8 because erased interiors are not
+    determined by their context there)."""
+    h, w = hw
+    img = rng.uniform(0.2, 0.5, size=(1, 1, 3)) + rng.uniform(
+        -0.08, 0.08, size=(h, w, 3))
+    labels = np.zeros((h, w), np.int32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for _ in range(rng.randint(1, 4)):
+        cls = rng.randint(1, 4)
+        colour = np.array([0.9, 0.2, 0.2]) if cls == 1 else (
+            np.array([0.2, 0.9, 0.2]) if cls == 2
+            else np.array([0.3, 0.3, 0.95]))
+        colour = colour + rng.uniform(-0.1, 0.1, size=3)
+        if rng.randint(2) == 0:
+            cy = rng.randint(h // 6, 5 * h // 6)
+            cx = rng.randint(w // 6, 5 * w // 6)
+            r = rng.randint(h // 5, h // 2)
+            mask = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+        else:
+            hh, ww = rng.randint(h // 3, 3 * h // 4), rng.randint(
+                w // 3, 3 * w // 4)
+            y0, x0 = rng.randint(0, h - h // 3), rng.randint(0, w - w // 3)
+            mask = (ys >= y0) & (ys < y0 + hh) & (xs >= x0) & (xs < x0 + ww)
+        img[mask] = colour + rng.uniform(-0.05, 0.05,
+                                         size=(int(mask.sum()), 3))
+        labels[mask] = cls
+    img = np.clip(img + rng.normal(0, 0.03, size=img.shape), 0, 1)
+    return (img * 255).astype(np.uint8), labels
+
+
+def make_image_context(rng, hw):
+    """Context-dependent pixel identity: classes 1 and 2 are discs of the
+    SAME colour distribution, distinguished only by size (small vs large);
+    class 3 is a colour-anchored rectangle. A pixel's class cannot be read
+    from local colour alone — the network must integrate surrounding
+    extent. This is the regime the reference's Cutout consistency targets:
+    its cut branch applies the loss on VISIBLE pixels only
+    (reference: train_seg_semisup_mask_mt.py:401 loss_mask = mask * um),
+    so the gradient only carries signal when zeroing boxes (removing
+    context) perturbs predictions elsewhere. On locally colour-determined
+    tasks that perturbation is ~0, which is why the shapes/large_shapes
+    points measure Cutout as a null (-0.3 +/- 2.8 and -0.9 +/- 3.5)."""
+    h, w = hw
+    img = rng.uniform(0.2, 0.5, size=(1, 1, 3)) + rng.uniform(
+        -0.08, 0.08, size=(h, w, 3))
+    labels = np.zeros((h, w), np.int32)
+    ys, xs = np.mgrid[0:h, 0:w]
+
+    def disc(cls, r_lo, r_hi):
+        colour = np.array([0.85, 0.3, 0.25]) + rng.uniform(-0.1, 0.1, size=3)
+        cy = rng.randint(h // 8, 7 * h // 8)
+        cx = rng.randint(w // 8, 7 * w // 8)
+        r = rng.randint(r_lo, r_hi)
+        m = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+        img[m] = colour + rng.uniform(-0.05, 0.05, size=(int(m.sum()), 3))
+        labels[m] = cls
+
+    for _ in range(rng.randint(1, 3)):   # large discs first
+        disc(2, max(h // 4, 2), max(h // 3, 3))
+    for _ in range(rng.randint(2, 6)):   # small discs may overlay
+        disc(1, max(h // 16, 1), max(h // 9, 2))
+    for _ in range(rng.randint(0, 3)):   # colour-anchored rectangles
+        colour = np.array([0.3, 0.3, 0.95]) + rng.uniform(-0.1, 0.1, size=3)
+        hh, ww = rng.randint(6, h // 3), rng.randint(6, w // 3)
+        y0, x0 = rng.randint(0, h - 6), rng.randint(0, w - 6)
+        m = (ys >= y0) & (ys < y0 + hh) & (xs >= x0) & (xs < x0 + ww)
+        img[m] = colour + rng.uniform(-0.05, 0.05, size=(int(m.sum()), 3))
+        labels[m] = 3
+    img = np.clip(img + rng.normal(0, 0.03, size=img.shape), 0, 1)
+    return (img * 255).astype(np.uint8), labels
+
+
+_TASK_GENS = {"shapes": make_image, "large_shapes": make_image_large,
+              "context_size": make_image_context}
 
 
 def _gen_set(rng, n, hw):
+    gen = _TASK_GENS[TASK]
     xs, ys = [], []
     for _ in range(n):
-        x, y = make_image(rng, hw)
+        x, y = gen(rng, hw)
         xs.append(x)
         ys.append(y)
     return ((np.stack(xs).astype(np.float32) / 255.0 - 0.5) / 0.25,
@@ -162,8 +246,16 @@ def stack_states(model, opt_cfg, seeds):
 @click.option("--n_val", type=int, default=64)
 @click.option("--batch", type=int, default=8)
 @click.option("--algorithms", default="mask_mt,cutout,ict,vat_mt,aug_mt")
+@click.option("--hw", type=int, default=64, help="square task size")
+@click.option("--task", type=click.Choice(
+    ["shapes", "large_shapes", "context_size"]), default="shapes")
+@click.option("--conf_thresh", type=float, default=0.8)
 @click.option("--out", default="results_evidence/algo_convergence_multiseed")
-def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
+def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, hw, task,
+         conf_thresh, out):
+    global HW, TASK
+    HW = (hw, hw)
+    TASK = task
     from cutmix_seg_tpu.core.schedules import make_lr_schedule
     from cutmix_seg_tpu.core.train_state import OptimizerConfig
     from cutmix_seg_tpu.eval.evaluator import make_eval_cm_fn
@@ -196,7 +288,7 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
                               lr_schedule=make_lr_schedule("none", 1e-3,
                                                            iters))
     # configs mirror the reference sweep (run_pascal_aug_experiments.sh:19-25)
-    common = dict(conf_thresh=0.8, freeze_bn=True, mean_teacher=True,
+    common = dict(conf_thresh=conf_thresh, freeze_bn=True, mean_teacher=True,
                   teacher_alpha=0.99)
     arm_cfgs = {
         "supervised": (MaskConsistencyConfig(
@@ -302,11 +394,12 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, out):
         results[arm]["gain_std"] = round(float(gains.std()), 4)
 
     out_doc = {
-        "task": f"synthetic shapes, {C} classes, {HW[0]}x{HW[1]}",
+        "task": f"synthetic {task}, {C} classes, {HW[0]}x{HW[1]}",
         "n_seeds": n_seeds, "iters": iters, "n_sup": n_sup,
         "configs": "reference sweep configs "
-                   "(run_pascal_aug_experiments.sh:19-25); conf gate 0.8; "
-                   "aug_mt = full Hung crop-scale pair geometry",
+                   "(run_pascal_aug_experiments.sh:19-25); conf gate "
+                   f"{conf_thresh}; aug_mt = full Hung crop-scale pair "
+                   "geometry",
         "arms": results,
         "total_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
