@@ -181,25 +181,43 @@ def _aug_geometry(iters, batch, seeds):
 
 
 def make_arm_runner(model, tx, cfg, make_step, algorithm, n_sup, n_unsup,
-                    batch):
-    """One jitted program: scan the full training loop, vmapped over seeds."""
+                    batch, strong_colour=False):
+    """One jitted program: scan the full training loop, vmapped over seeds.
+
+    strong_colour reproduces the reference's pair composition on device:
+    the teacher sees the un-jittered view and the student the
+    colour-jittered one (reference: train_seg_semisup_mask_mt.py:166-179
+    — ToPair then TVT colour applied to pair-sample1 only; the MoCo-recipe
+    jitter of seg_transforms_cv.py:549-584). Keys ride the ``ck`` stream."""
     from cutmix_seg_tpu.aug.device import warp_image_canvas_separable
+    from cutmix_seg_tpu.ops.colour import ColourJitterConfig, colour_jitter
 
     step_fn = make_step(model, tx, cfg)
     use_cons = cfg.cons_weight > 0.0
+    cj_cfg = ColourJitterConfig()  # the trainers' strong-colour defaults
+
+    def stu_view(x, ck, salt):
+        """Student view: colour jitter in [0,1] space (data is normalised
+        to (x/255 - 0.5) / 0.25 by _gen_set)."""
+        if not strong_colour:
+            return x
+        key = jax.random.fold_in(jax.random.PRNGKey(97), ck + salt)
+        x01 = jnp.clip(x * 0.25 + 0.5, 0.0, 1.0)
+        return (colour_jitter(x01, key, cj_cfg) - 0.5) / 0.25
 
     def seed_iter(state, data, xs, ramp):
         bt = {"sup_x": jnp.take(data["sup_x"], xs["s"], axis=0),
               "sup_y": jnp.take(data["sup_y"], xs["s"], axis=0)}
+        ck = xs["ck"][0] if strong_colour else 0
         if use_cons:
             ones = jnp.ones(((batch,) + HW + (1,)), jnp.float32)
             u0 = jnp.take(data["unsup_x"], xs["u0"], axis=0)
             if algorithm in ("mask_mt", "ict"):
                 u1 = jnp.take(data["unsup_x"], xs["u1"], axis=0)
-                bt.update(ux0_tea=u0, ux0_stu=u0, um0=ones,
-                          ux1_tea=u1, ux1_stu=u1, um1=ones)
+                bt.update(ux0_tea=u0, ux0_stu=stu_view(u0, ck, 0), um0=ones,
+                          ux1_tea=u1, ux1_stu=stu_view(u1, ck, 1), um1=ones)
             elif algorithm in ("vat_mt", "cutout"):
-                bt.update(ux_tea=u0, ux_stu=u0, um=ones)
+                bt.update(ux_tea=u0, ux_stu=stu_view(u0, ck, 0), um=ones)
             else:  # aug_mt: full Hung pair geometry, warped on device
                 src = jnp.take(data["unsup_x"], xs["u0"], axis=0)
                 sizes = jnp.full((batch, 2), HW[0] + AUG_MARGIN, jnp.int32)
@@ -250,9 +268,12 @@ def stack_states(model, opt_cfg, seeds):
 @click.option("--task", type=click.Choice(
     ["shapes", "large_shapes", "context_size"]), default="shapes")
 @click.option("--conf_thresh", type=float, default=0.8)
+@click.option("--strong_colour", is_flag=True, default=False,
+              help="reference pair composition: student views colour-"
+                   "jittered on device, teacher views clean")
 @click.option("--out", default="results_evidence/algo_convergence_multiseed")
 def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, hw, task,
-         conf_thresh, out):
+         conf_thresh, strong_colour, out):
     global HW, TASK
     HW = (hw, hw)
     TASK = task
@@ -336,6 +357,12 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, hw, task,
                             .randint(0, hi, size=(iters, batch))
                             for s in seeds], axis=1)
             stream[name] = jnp.asarray(arr.astype(np.int32))
+        if strong_colour:
+            # globally-unique colour-jitter key material per (iter, seed);
+            # the runner folds in a per-view salt {0, 1}
+            ck = (np.arange(iters)[:, None] * n_seeds
+                  + np.arange(n_seeds)[None, :]) * 2
+            stream["ck"] = jnp.asarray(ck[..., None].astype(np.int32))
         if algorithm == "aug_mt":
             if aug_geom is None:
                 print("sampling aug_mt pair geometry "
@@ -347,7 +374,8 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, hw, task,
 
         state, tx = stack_states(model, opt_cfg, seeds)
         runner = make_arm_runner(model, tx, cfg, make_step, algorithm,
-                                 n_sup, n_unsup, batch)
+                                 n_sup, n_unsup, batch,
+                                 strong_colour=strong_colour)
         # chunk the scan: one 6000-iteration dispatch crashed the remote TPU
         # worker; ~500-iteration dispatches keep the per-call program small
         # while still amortising tunnel dispatch latency ~500x
@@ -398,8 +426,8 @@ def main(iters, n_seeds, n_sup, n_unsup, n_val, batch, algorithms, hw, task,
         "n_seeds": n_seeds, "iters": iters, "n_sup": n_sup,
         "configs": "reference sweep configs "
                    "(run_pascal_aug_experiments.sh:19-25); conf gate "
-                   f"{conf_thresh}; aug_mt = full Hung crop-scale pair "
-                   "geometry",
+                   f"{conf_thresh}; strong_colour={strong_colour}; "
+                   "aug_mt = full Hung crop-scale pair geometry",
         "arms": results,
         "total_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),

@@ -366,6 +366,47 @@ def test_voc_multiseed_artifact_parses():
     assert "retract" in report.lower() and "seed luck" in report
 
 
+def test_cutout_scale_sweep_artifact_parses():
+    """Round-5 resolution of the Cutout sign (VERDICT item 2): five
+    measured 16-seed points across task structure, gate, teacher strength,
+    and the strong-colour pair composition, plus a mechanism probe. The
+    committed finding: CutMix is the sign-stable positive control at every
+    point, Cutout never separates positive, and the probe shows the
+    consistency signal present on every task (so signal scarcity is not
+    the explanation)."""
+    d = os.path.join(ROOT, "cutout_scale_sweep")
+    points = ["ls64", "ctx64", "ctx64_gate97", "ctx64_sup24_gate97",
+              "ctx64_gate97_colour"]
+    sup_arms = {}
+    for p in points:
+        rec = json.load(open(os.path.join(d, p, "results.json")))
+        assert rec["n_seeds"] == 16 and rec["iters"] >= 6000, p
+        arms = rec["arms"]
+        mm, co = arms["mask_mt"], arms["cutout"]
+        assert len(co["gain_per_seed"]) == 16, p
+        # CutMix positive control: positive mean, >= 3/4 seed majority
+        assert mm["gain_mean"] > 0, p
+        assert sum(g > 0 for g in mm["gain_per_seed"]) >= 12, p
+        # the measured finding: Cutout never separates positive
+        assert co["gain_mean"] < co["gain_std"], p
+        assert sum(g > 0 for g in co["gain_per_seed"]) <= 8, p
+        sup_arms[p] = arms["supervised"]["miou_per_seed"]
+    # internal consistency: the supervised arm (cons_weight=0) reproduces
+    # bit-identically across gate / colour variants of the same task+n_sup
+    assert sup_arms["ctx64"] == sup_arms["ctx64_gate97"]
+    assert sup_arms["ctx64"] == sup_arms["ctx64_gate97_colour"]
+    # mechanism probe: the visible-pixel consistency signal is present on
+    # every task and the gates pass most pixels — signal scarcity refuted
+    mech = json.load(open(os.path.join(d, "mechanism_probe.json")))
+    assert set(mech["tasks"]) == {"shapes", "large_shapes", "context_size"}
+    for task, r in mech["tasks"].items():
+        assert min(r["visible_argmax_flip_rate"]) > 0.03, task
+        assert min(r["gate_rate_0.97"]) > 0.8, task
+    report = open(os.path.join(d, "report.md")).read()
+    assert "refuted" in report and "16/16" in report
+    assert "positive" in report and "control" in report  # may line-wrap
+
+
 def test_reference_baseline_artifact_parses():
     """Round-4 measured baseline anchor: the reference's own torch-CPU
     iteration timed on this host; the committed TPU-vs-reference-CPU ratio
