@@ -371,7 +371,10 @@ def test_all_steps_support_dropout_models():
 @pytest.mark.parametrize(
     "mode,conf",
     [pytest.param("mix", 0.0, marks=pytest.mark.slow),
-     ("mix", 0.5),  # quick bar: the most general variant (conf gate live)
+     # all variants are slow-tier (two full-step compiles each, ~34s on the
+     # 1-core quick-bar host); the quick bar keeps accum coverage via
+     # test_grad_accum_training_bn_sequential_stats + the guards test
+     pytest.param("mix", 0.5, marks=pytest.mark.slow),
      pytest.param("zero", 0.0, marks=pytest.mark.slow)])
 def test_grad_accum_equivalent_to_single_step(mode, conf):
     """grad_accum=2 must reproduce the unchunked step: identical mask stream
@@ -483,11 +486,17 @@ def test_grad_accum_guards_and_warning():
             **common))
 
 
+@pytest.mark.slow
 def test_loss_chain_variants_match_reference_step():
     """remat_loss_chain must be BIT-exact vs the default step (identical
     math, only backward rematerialisation changes); cons_compute_dtype=
     'bfloat16' must stay within bf16 quantisation of it (parity-flagged
-    HBM-traffic optimisation; semisup/mask_mt.py config docs)."""
+    HBM-traffic optimisation; semisup/mask_mt.py config docs).
+
+    Slow tier: five distinct full-step compiles (~74s on the 1-core
+    quick-bar host). The adopted bench flags (remat + bf16 softmax) are
+    still quick-covered via the CLI flag tests and the default-step tests;
+    this parity matrix runs in the full (merge-bar) suite."""
     model = tiny_model()
     opt_cfg = OptimizerConfig(
         opt_type="adam", learning_rate=3e-4,
