@@ -496,3 +496,28 @@ def test_trajectory_drift_artifact_parses():
     assert e["abs_miou_diff"] <= 0.02
     # identical weights through both eval paths: near-total agreement
     assert e["crossload_pixel_agreement"] >= 0.995
+
+
+def test_xla_flag_sweep_artifact_parses():
+    """Round-5 closure of the compiler-options dimension
+    (scripts/xla_flag_probe.py): the two plausible single-chip XLA:TPU knobs
+    (latency-hiding scheduler toggle, scoped-VMEM scratch budget) measured
+    on the adopted bench recipe via PJRT compiler_options — the channel
+    that actually reaches the remote TPU compiler here. The refutation is
+    the result: the default configuration wins every variant."""
+    rec = json.load(open(os.path.join(ROOT, "xla_flag_sweep", "probe.json")))
+    assert "compiler_options" in rec["transport"]
+    v = rec["variants"]
+    base = v["baseline"]
+    assert base["step_ms"] > 50  # real-chip step
+    losses = set()
+    for name in ("baseline", "lhs_off", "vmem_80mib", "vmem_112mib"):
+        r = v[name]
+        assert not r.get("failed"), name
+        assert r["vs_baseline"] == pytest.approx(
+            base["step_ms"] / r["step_ms"], abs=1e-3)
+        losses.add(r["sup_loss_after_warmup_and_iters"])
+    # same program, same data: every compiler variant must agree on loss
+    assert len(losses) == 1
+    # no variant beat the default by more than timing noise
+    assert max(r["vs_baseline"] for r in v.values()) < 1.01
