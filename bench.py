@@ -20,8 +20,9 @@ The headline `value` stays pinned to the PAPER recipe (bs10 — the number
 wall-clock projections of run_pascal_aug_experiments.sh:17 need), but the
 same line also carries the measured 8-ALIGNED capability: bs12/chip makes
 the step's internal 2xbs image batches a multiple of 8 sublanes, removing
-the bs10 recipe's structural padding (+~15%; the production configuration —
-see results_evidence/shape_alignment/).
+the bs10 recipe's structural padding (measured 107.4 vs 90.1 img/s after the
+round-5 one-hot CE fix; the production configuration — see
+results_evidence/shape_alignment/ and results_evidence/op_breakdown/).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "value_bs12_aligned", ...}.

@@ -37,8 +37,18 @@ def cross_entropy_ignore(
     valid = labels != ignore_value
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(compute_dtype), axis=-1)
-    picked = jnp.take_along_axis(
-        logp, safe_labels[..., None], axis=-1)[..., 0].astype(jnp.float32)
+    # Select logp[label] as a one-hot masked sum over the minor (class) dim
+    # rather than take_along_axis: XLA lowers the gather to a ~1.5 GB/s
+    # "custom fusion" on TPU (measured 13.8 ms/step = 11% of device-busy at
+    # the paper recipe, results_evidence/op_breakdown/), while the where+sum
+    # fuses into the log-softmax chain as elementwise+minor-dim reduce. The
+    # sum picks exactly one nonzero element among zeros, so the value (and
+    # the softmax-minus-onehot backward) is bit-identical to the gather.
+    class_iota = jax.lax.broadcasted_iota(
+        jnp.int32, logp.shape, len(logp.shape) - 1)
+    picked = jnp.where(
+        class_iota == safe_labels[..., None], logp, 0).sum(
+            axis=-1).astype(jnp.float32)
     losses = jnp.where(valid, -picked, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
     return losses.sum() / denom

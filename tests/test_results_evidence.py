@@ -521,3 +521,33 @@ def test_xla_flag_sweep_artifact_parses():
     assert len(losses) == 1
     # no variant beat the default by more than timing noise
     assert max(r["vs_baseline"] for r in v.values()) < 1.01
+
+
+def test_op_breakdown_artifact_parses():
+    """Round-5 per-op trace forensics (scripts/op_breakdown.py): the XPlane
+    "XLA Ops" line of a jax.profiler trace of the adopted bench recipe,
+    aggregated by XLA's own hlo_category stat. The before/after pair is the
+    evidence for the one-hot CE fix: before, a ~1.5 GB/s zero-FLOP "custom
+    fusion" (the supervised CE's take_along_axis gather) burned >10% of
+    device-busy time; after, it is gone and convolution fusions own >90%."""
+    before = json.load(open(
+        os.path.join(ROOT, "op_breakdown", "probe_before_onehot_ce.json")))
+    after = json.load(open(os.path.join(ROOT, "op_breakdown", "probe.json")))
+
+    def cats(rec):
+        return {c["name"]: c for c in rec["category_breakdown"]}
+
+    cb, ca = cats(before), cats(after)
+    # the gather custom-fusion: >10% of busy, ~zero flops, before only
+    assert cb["custom fusion"]["pct_of_device_busy"] > 10
+    assert cb["custom fusion"]["tflops_per_s"] < 0.1
+    assert ca.get("custom fusion", {"ms_per_step": 0})["ms_per_step"] < 0.5
+    # the fix removed >10 ms/step of device-busy time
+    assert (before["device_busy_ms_per_step"]
+            - after["device_busy_ms_per_step"]) > 10
+    # convs dominate the remaining step and run at real MXU rates
+    assert ca["convolution fusion"]["pct_of_device_busy"] > 85
+    assert ca["convolution fusion"]["tflops_per_s"] > 80
+    # busy time per step stays below the measured wall step (sanity: the
+    # overlapping-timeline double-count this parser exists to avoid)
+    assert after["device_busy_ms_per_step"] < 130
